@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation family: hash agg, distinct agg, HAVING, rollup/cube/
+  * grouping sets (SURVEY.md §2-B rows 12–17).
+  *
+  * Scale notes: all of these are partial-aggregate (map-side combine) +
+  * final-aggregate plans in Spark — the shuffle carries only group keys ×
+  * partial states, never raw rows. Grouping keys here are low-cardinality,
+  * so the shuffled state is tiny regardless of input size. COUNT(DISTINCT)
+  * expands to a two-phase aggregate keyed on (group, value) — still
+  * shuffle-bounded by distinct combinations.
+  *
+  * Determinism: metrics are decimal-cast *before* SUM (exact arithmetic,
+  * summation order irrelevant); averages are emitted as
+  * exact-decimal-sum → double ÷ count (one correctly-rounded IEEE division,
+  * bit-identical on both engines).
+  */
+object Aggregates {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_agg_group",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            asDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+            asDec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_agg_distinct",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("supp_cnt"),
+            countDistinct(col("l_partkey")).as("part_cnt"),
+            count(lit(1)).as("row_cnt"))
+          .orderBy(asc_nulls_first("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_cnt,
+             |  COUNT(DISTINCT l_partkey) AS part_cnt, COUNT(*) AS row_cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_agg_having",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("cust_cnt"),
+            asDec(sum(dec(col("c_acctbal")))).as("total_bal"))
+          .filter(col("total_bal") > 1000)
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cust_cnt,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+             |FROM customer GROUP BY c_mktsegment
+             |HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) > 1000
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_rollup",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("grp_flag"),
+            grouping(col("l_linestatus")).cast("int").as("grp_status"),
+            count(lit(1)).as("cnt"),
+            asDec(sum(dec(col("l_quantity")))).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS grp_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS grp_status,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_cube",
+      (s, d) => {
+        tbl(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("cnt"),
+            asDec(sum(dec(col("o_totalprice")))).as("sum_price"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_grouping_sets",
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("gs_customer")
+        s.sql("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+                |FROM gs_customer
+                |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+                |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+             |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (north-star LLM-pipeline ops): exact deterministic
+  * dedup, MinHash-LSH near-dup candidate pairs, and SimHash bucketing.
+  *
+  * Scale notes:
+  *   - q_dedup_exact is a window row_number=1 per logical key — NEVER
+  *     `dropDuplicates` (which keeps an arbitrary row and is therefore both
+  *     nondeterministic and un-oracle-able). Shuffle is one hash partition
+  *     on the dedup key; at 100 TB the key space distributes evenly.
+  *   - q_minhash_neardup generates candidates by banded-LSH equi-join:
+  *     32 minhashes → 8 bands × 4 rows; a pair collides iff some band
+  *     signature matches. Join is on (band, signature) buckets — cost is
+  *     O(sum of bucket sizes²·selectivity), never corpus².
+  *   - q_simhash_dedup buckets 64-bit SimHash prefixes — constant per-doc
+  *     state, groupBy on a 16-bit prefix.
+  *
+  * MinHash/SimHash values are engine-specific (xxhash64 seeds) → no SQL
+  * oracle; planted-duplicate recall is asserted in ScalaTest
+  * (graft.DedupSpec).
+  */
+object Dedup {
+
+  private val NumHashes = 32
+  private val BandSize = 4 // → 8 bands
+
+  /** 3-token shingle array of a text column. */
+  private def shingles(text: org.apache.spark.sql.Column) = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    transform(sequence(lit(1), greatest(n - 2, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_dedup_exact",
+      (s, d) => {
+        // First event per (user_id, event_type) by (ts, event_id).
+        // ts is compared at second granularity on both engines (events.ts is
+        // parquet ns — Spark truncates to µs, DuckDB keeps ns; sub-second
+        // ordering would diverge). event_id is the unique tiebreak.
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(asc_nulls_first("ts_sec"), asc_nulls_first("event_id"))
+        tbl(s, d, "events")
+          .withColumn("ts_sec", date_trunc("second", col("ts")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+             |  SELECT user_id, event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY date_trunc('second', ts) ASC NULLS FIRST,
+             |               event_id ASC NULLS FIRST) AS rn
+             |  FROM events
+             |) WHERE rn = 1
+             |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_minhash_neardup",
+      (s, d) => {
+        // Banded MinHash-LSH candidate pairs over documents. hashIdx h uses
+        // xxhash64(h, shingle) as the permutation; signature = min per h.
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+        val sigs = docs.select(col("doc_id"),
+          array((0 until NumHashes).map { h =>
+            array_min(transform(col("sh"), x => xxhash64(lit(h), x)))
+          }: _*).as("sig"))
+        val banded = sigs.select(col("doc_id"),
+          explode(array((0 until NumHashes / BandSize).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)).as("bsig"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+      },
+      None
+    ),
+    Q(
+      "q_simhash_dedup",
+      (s, d) => {
+        // 64-bit SimHash per document from token hashes: bit j of the
+        // fingerprint is the sign of sum over tokens of ±1 on bit j of
+        // xxhash64(token). Documents grouped by fingerprint → groups of
+        // near-identical token distributions. Emits groups with >1 member.
+        val toks = array_distinct(split(col("text"), " "))
+        val bits = (0 until 64).map { j =>
+          aggregate(
+            transform(toks, t =>
+              when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+            lit(0), (acc, x) => acc + x)
+        }
+        val fp = (0 until 64).map(j =>
+          when(bits(j) >= 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), fp.as("simhash"))
+          .groupBy("simhash")
+          .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("keep_id"))
+          .filter(col("grp_size") > 1)
+          .orderBy(asc_nulls_first("simhash"))
+      },
+      None
+    )
+  )
+}

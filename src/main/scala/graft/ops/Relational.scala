@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scan, filter and the full join family (SURVEY.md §2-B rows 1–11).
+  *
+  * Scale notes (100 TB design point):
+  *   - scans project/filter declaratively so Catalyst pushes both into the
+  *     Parquet reader (check `PushedFilters`/`ReadSchema` in explain);
+  *   - equi-joins shuffle on their keys and are AQE-replannable; small
+  *     dimensions are broadcast explicitly;
+  *   - the band (range) join is rewritten as bucket-expansion equi-join +
+  *     residual filter — never a nested-loop cross product;
+  *   - the as-of join is join + per-key window; at cluster scale both
+  *     sides hash-partition on the user key so the window is local.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_scan_project",
+      (s, d) => {
+        // NB (l_orderkey, l_linenumber) is NOT unique in the fixture — the
+        // total order must include every output column so that any rows the
+        // engines may permute are value-identical.
+        tbl(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+          .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+            asc_nulls_first("l_quantity"), asc_nulls_first("l_extendedprice"),
+            asc_nulls_first("l_returnflag"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+             |FROM lineitem
+             |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+             |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
+             |  l_returnflag ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_filter_pred",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_returnflag").isin("A", "R"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+          .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+            asc_nulls_first("l_quantity"), asc_nulls_first("l_discount"),
+            asc_nulls_first("l_returnflag"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_returnflag IN ('A','R')
+             |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+             |  l_quantity ASC NULLS FIRST, l_discount ASC NULLS FIRST,
+             |  l_returnflag ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_inner_join",
+      (s, d) => {
+        tbl(s, d, "orders")
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+          .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+          .orderBy(asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_left_join",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(col("o_orderkey")).as("order_cnt"),
+            coalesce(asDec(sum(dec(col("o_totalprice")))), asDec(lit(0))).as("total_spent"))
+          .orderBy(asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt,
+             |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+             |           CAST(0 AS DOUBLE)) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_full_join",
+      (s, d) => {
+        val e = tbl(s, d, "events").select("event_id", "user_id")
+        val c = tbl(s, d, "customer").select("c_custkey", "c_name")
+        e.join(c, col("user_id") === col("c_custkey"), "full")
+          .select("event_id", "user_id", "c_custkey", "c_name")
+          .orderBy(asc_nulls_first("event_id"), asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT event_id, user_id, c_custkey, c_name
+             |FROM events FULL JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_semi_join",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy(asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_anti_join",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy(asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_broadcast_join",
+      (s, d) => {
+        // part and supplier are bounded dimensions: broadcast both so the
+        // big fact side never shuffles.
+        tbl(s, d, "lineitem")
+          .join(broadcast(tbl(s, d, "part").filter(col("p_size") < 10)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select("l_orderkey", "l_linenumber", "p_name", "s_name")
+          .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+            asc_nulls_first("p_name"), asc_nulls_first("s_name"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_name, s_name
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_size < 10
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+             |  p_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_range_join",
+      (s, d) => {
+        // Band join l_quantity BETWEEN p_size-2 AND p_size+2, rewritten as a
+        // bucket-expansion EQUI-join: each part row is expanded to the
+        // integer buckets its band covers, the fact side joins on
+        // floor(quantity) bucket, and the exact band predicate is re-checked
+        // as a residual filter. Linear in input + true match count — never a
+        // BroadcastNestedLoopJoin (which is O(n*m) and dies at 100 TB).
+        val li = tbl(s, d, "lineitem")
+          .filter(col("l_quantity") <= 3)
+          .withColumn("qk", floor(col("l_quantity")).cast("int"))
+        val pt = tbl(s, d, "part")
+          .filter(col("p_size") <= 5)
+          .withColumn("qk", explode(sequence(col("p_size") - 3, col("p_size") + 2)))
+        li.join(pt, "qk")
+          .filter(col("l_quantity") >= col("p_size") - 2 && col("l_quantity") <= col("p_size") + 2)
+          .groupBy("p_size")
+          .agg(count(lit(1)).as("match_cnt"), asDec(sum(dec(col("l_quantity")))).as("sum_qty"))
+          .orderBy(asc_nulls_first("p_size"))
+      },
+      Some("""SELECT p_size, COUNT(*) AS match_cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+             |FROM lineitem, part
+             |WHERE l_quantity <= 3 AND p_size <= 5
+             |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+             |GROUP BY p_size
+             |ORDER BY p_size ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_cross_join",
+      (s, d) => {
+        tbl(s, d, "region")
+          .crossJoin(tbl(s, d, "nation"))
+          .select("r_name", "n_name")
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_asof_join",
+      (s, d) => {
+        // As-of: each event joins the latest order of the same user at or
+        // before the event timestamp. Declarative form: left join on
+        // (user, o_orderdate <= ts) then keep rank-1 per event. Both sides
+        // hash-partition on the user key; the per-event window is local to
+        // the partition. (At extreme per-user fan-out, the scale path is a
+        // sorted-bucket merge — same semantics.)
+        val e = tbl(s, d, "events").select("event_id", "ts", "user_id")
+        val o = tbl(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        val w = Window
+          .partitionBy("event_id")
+          .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
+        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+          .orderBy(asc_nulls_first("event_id"))
+      },
+      Some("""SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+             |         o.o_orderdate AS asof_orderdate,
+             |         row_number() OVER (PARTITION BY e.event_id
+             |           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |) WHERE rn = 1
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Set operations, pivot and scalar subquery (SURVEY.md §2-B rows 23–27).
+  *
+  * Scale notes: INTERSECT/EXCEPT are distinct-aggregates over the key —
+  * shuffle bounded by distinct values. Pivot uses an explicit value list so
+  * it is a single-pass pivot aggregate (no extra distinct-values job). The
+  * scalar subquery broadcasts one aggregated row, not the table.
+  */
+object SetOps {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_union_all",
+      (s, d) => {
+        val e = tbl(s, d, "events").select("event_id", "event_type", "value")
+        e.filter(col("event_type") === "click")
+          .unionAll(e.filter(col("event_type") === "error"))
+          .orderBy(asc_nulls_first("event_id"))
+      },
+      Some("""SELECT event_id, event_type, value FROM (
+             |  SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+             |)
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_intersect",
+      (s, d) => {
+        tbl(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy(asc_nulls_first("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_except",
+      (s, d) => {
+        tbl(s, d, "customer").select(col("c_custkey").as("custkey"))
+          .except(tbl(s, d, "orders").select(col("o_custkey").as("custkey")))
+          .orderBy(asc_nulls_first("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders
+             |ORDER BY custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = tbl(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .count()
+        types.foldLeft(pivoted) { (df, t) =>
+          df.withColumn(s"${t}_cnt", coalesce(col(t), lit(0L))).drop(t)
+        }.orderBy(asc_nulls_first("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+             |  COUNT(*) FILTER (WHERE event_type = 'error') AS error_cnt,
+             |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt,
+             |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup_cnt,
+             |  COUNT(*) FILTER (WHERE event_type = 'view') AS view_cnt
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_subquery_scalar",
+      (s, d) => {
+        // Orders above global average price. The threshold is an exact
+        // decimal SUM cast to double then one IEEE division — bit-identical
+        // across engines, so the predicate boundary is deterministic.
+        val o = tbl(s, d, "orders")
+        val thresh = o.agg(
+          (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(thresh))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             |  FROM orders)
+             |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+    )
+  )
+}

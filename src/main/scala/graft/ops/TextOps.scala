@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family over the `documents` table (north-star LLM-pipeline
+  * ops): corpus stats, token counting, quality scoring, n-gram-marker
+  * language ID, token-set Jaccard similarity, and document fingerprinting.
+  *
+  * Scale notes: all per-document measures are narrow projections (one
+  * codegen span, no shuffle). The Jaccard pair query inverts on token and
+  * equi-joins — candidate generation is an inverted-index join, never an
+  * all-pairs cross product; the probe set is bounded so output is bounded.
+  * Ratios are exact-integer numerators with a single final IEEE division
+  * (bit-identical across engines).
+  */
+object TextOps {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_text_stats",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("doc_cnt"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(col("source")).as("src_cnt"))
+          .orderBy(asc_nulls_first("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS doc_cnt,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+             |  COUNT(DISTINCT source) AS src_cnt
+             |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_token_count",
+      (s, d) => {
+        // Whitespace tokenization + a word-char-run count (BPE-ish proxy:
+        // alpha runs rather than split tokens).
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(split(col("text"), "[a-z]+")).cast("long").minus(1).as("alpha_runs"),
+            length(col("text")).cast("long").as("n_chars_live"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_split_to_array(text, '[a-z]+')) - 1 AS BIGINT) AS alpha_runs,
+             |  CAST(LENGTH(text) AS BIGINT) AS n_chars_live
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_text_quality",
+      (s, d) => {
+        val nTokens = size(split(col("text"), " ")).cast("long")
+        val nSpaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long")
+        val stopHits = (size(split(concat(lit(" "), col("text"), lit(" ")), " (the|a|of|and) ")) - 1).cast("long")
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            nTokens.as("n_tokens"),
+            ((length(col("text")).cast("long") - nSpaces).cast("double") / nTokens).as("avg_token_len"),
+            (stopHits.cast("double") / nTokens).as("stopword_ratio"),
+            (nTokens >= 20 && nTokens <= 80).as("len_ok"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS avg_token_len,
+             |  CAST(len(regexp_split_to_array(' ' || text || ' ', ' (the|a|of|and) ')) - 1 AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS stopword_ratio,
+             |  (len(string_split(text, ' ')) BETWEEN 20 AND 80) AS len_ok
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Marker-token language-ID heuristic. The fixture vocabulary is
+      // engine-domain word soup, so this scores structural markers —
+      // the point is the deterministic classify plumbing, not accuracy.
+      "q_lang_id",
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(padded.contains(" the "), "en")
+              .when(padded.contains(" der "), "de")
+              .when(padded.contains(" el "), "es")
+              .when(padded.contains(" le "), "fr")
+              .otherwise("unk").as("lang_pred"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+             |       WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+             |       WHEN ' ' || text || ' ' LIKE '% el %' THEN 'es'
+             |       WHEN ' ' || text || ' ' LIKE '% le %' THEN 'fr'
+             |       ELSE 'unk' END AS lang_pred
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Token-set Jaccard near-dup pairs via inverted-index join on a
+      // bounded probe set; similarity threshold via exact integer
+      // cross-multiplication (inter*10 > union*6  ⇔  J > 0.6).
+      "q_jaccard_pairs",
+      (s, d) => {
+        val sh = tbl(s, d, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = sh.as("a")
+        val b = sh.as("b")
+        val inter = a.join(b, col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter_cnt"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+          .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+          .withColumn("union_cnt", (col("a_sz") + col("b_sz") - col("inter_cnt")).cast("long"))
+          .filter(col("inter_cnt") * 10 > col("union_cnt") * 6)
+          .select("a_id", "b_id", "inter_cnt", "union_cnt")
+          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |    FROM documents WHERE doc_id < 50)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt
+             |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id, inter_cnt,
+             |  CAST(sa.sz + sb.sz - inter_cnt AS BIGINT) AS union_cnt
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = a_id
+             |JOIN sizes sb ON sb.doc_id = b_id
+             |WHERE inter_cnt * 10 > (sa.sz + sb.sz - inter_cnt) * 6
+             |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Winnowing-style document fingerprint: min/max 64-bit hash over
+      // 4-token shingles. Hash is engine-specific (xxhash64) → no SQL
+      // oracle; invariance properties are asserted in ScalaTest.
+      "q_doc_fingerprint",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val shingles = transform(
+          sequence(lit(1), greatest(n - 3, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(4))))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            array_min(transform(shingles, sh => xxhash64(sh))).as("fp_min"),
+            array_max(transform(shingles, sh => xxhash64(sh))).as("fp_max"),
+            xxhash64(col("text")).as("fp_full"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      None
+    )
+  )
+}

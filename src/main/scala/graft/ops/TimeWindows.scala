@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Time-window family over `events` (SURVEY.md §2-B rows 36–40): tumbling /
+  * sliding / session windows (batch-equivalent of the streaming ops — the
+  * same `window`/`session_window` expressions run under Structured
+  * Streaming with a watermark, see graft.bus) and approximate distinct.
+  *
+  * Scale notes: time-window group-bys are partial-agg + shuffle on
+  * (window, key) — state bounded by windows × keys, not rows.
+  * approx_count_distinct is HLL++: constant-size sketch per group, merged
+  * associatively (this is THE 100 TB cardinality path; exact distinct is
+  * the fallback, not the default).
+  */
+object TimeWindows {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_tumbling_window",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("cnt"), asDec(sum(dec(col("value")))).as("sum_value"))
+          .select(col("w.start").as("day"), col("cnt"), col("sum_value"))
+          .orderBy(asc_nulls_first("day"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY day ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // 2-day window sliding 1 day per event_type. Each event lands in two
+      // overlapping windows; `window()` expands then group-aggregates.
+      // Oracle omitted per SURVEY (generate_series emulation is fragile);
+      // ScalaTest checks against a hand-rolled expansion.
+      "q_sliding_window",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("w.start").cast("date").as("win_start"), col("event_type"), col("cnt"))
+          .orderBy(asc_nulls_first("win_start"), asc_nulls_first("event_type"))
+      },
+      None
+    ),
+    Q(
+      // Per-user sessions with a 30-minute inactivity gap. ScalaTest checks
+      // against a gaps-and-islands formulation.
+      "q_session_window",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"),
+            unix_timestamp(col("w.start")).as("session_start_s"),
+            unix_timestamp(col("w.end")).as("session_end_s"),
+            col("cnt"))
+          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start_s"))
+      },
+      None
+    ),
+    Q(
+      // HLL++ sketch distinct per event_type; ScalaTest asserts ±5% of
+      // exact. No oracle (HLL implementations differ across engines).
+      "q_approx_distinct",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      None
+    )
+  )
+}

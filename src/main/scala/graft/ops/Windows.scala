@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function family + global sort/limit (SURVEY.md §2-B rows 18–22).
+  *
+  * Scale notes: every window partitions by a real key (nation / customer /
+  * user) so state is distributed; there is no ORDER BY without PARTITION BY
+  * anywhere (a global window would serialize 100 TB through one task).
+  * q_sort_limit compiles to TakeOrderedAndProject — per-partition top-N
+  * then a K-row driver merge, never a full global sort.
+  *
+  * Determinism: row_number windows always carry a unique tiebreak key;
+  * rank/dense_rank are tie-stable by definition. Computed ranks are cast
+  * BIGINT on both engines (Spark INT vs DuckDB BIGINT defaults differ).
+  */
+object Windows {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_window_rank",
+      (s, d) => {
+        val wTie = Window.partitionBy("c_nationkey")
+          .orderBy(desc_nulls_last("c_acctbal"), asc_nulls_first("c_custkey"))
+        val wVal = Window.partitionBy("c_nationkey").orderBy(desc_nulls_last("c_acctbal"))
+        tbl(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            row_number().over(wTie).cast("long").as("rn"),
+            rank().over(wVal).cast("long").as("rnk"),
+            dense_rank().over(wVal).cast("long").as("drnk"))
+          .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("rn"))
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |  CAST(row_number() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST) AS BIGINT) AS rn,
+             |  CAST(rank() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC NULLS LAST) AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC NULLS LAST) AS BIGINT) AS drnk
+             |FROM customer
+             |ORDER BY c_nationkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc_nulls_first("o_orderdate"), asc_nulls_first("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            asDec(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+          .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             |FROM orders
+             |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_window_leadlag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+        tbl(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"))
+          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_id"))
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  lead(value, 1) OVER w AS next_value
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+             |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc_nulls_last("o_totalprice"), asc_nulls_first("o_orderkey"))
+        tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS BIGINT) AS rn
+             |  FROM orders
+             |) WHERE rn <= 3
+             |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "q_sort_limit",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(desc_nulls_last("l_extendedprice"),
+            asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
+          .limit(25)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC NULLS LAST,
+             |  l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
+             |LIMIT 25""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared plumbing for the declared query inventory (SURVEY.md §2-B).
+  *
+  * Determinism conventions (SURVEY.md §7.4 — load-bearing for the
+  * DuckDB-oracle hash gate):
+  *   - every query ends in a total ORDER BY incl. a unique tiebreak;
+  *   - null ordering is explicit on BOTH engines (Spark defaults
+  *     NULLS FIRST for ASC, DuckDB defaults NULLS LAST — never rely on
+  *     a default);
+  *   - double metrics are cast to DECIMAL(18,4) *before* SUM/AVG so both
+  *     engines do exact decimal arithmetic (summation order then cannot
+  *     matter), and aggregate outputs are cast back to an explicit type;
+  *   - derived averages/ratios are computed as exact-decimal (or exact
+  *     integer) numerators divided as the LAST step — a single correctly
+  *     rounded IEEE-754 division is bit-identical across engines;
+  *   - computed integers (rank, counts from non-COUNT paths, lengths)
+  *     are cast to an explicit width on both sides (Spark INT vs DuckDB
+  *     BIGINT defaults differ).
+  */
+package object ops {
+
+  /** One declared engine query: a Spark plan plus (when the semantics are
+    * ANSI-SQL-expressible) the equivalent DuckDB oracle SQL. `oracle=None`
+    * queries are covered by ScalaTest instead (driver records rows-only).
+    */
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String] = None)
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet timestamp[ns], which Spark rejects unless read as
+    // a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in every
+    // session builder + build.sbt javaOptions). Convert ns → µs timestamp
+    // with exact integer division (a double division would lose precision:
+    // ns epochs exceed 2^53).
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact-decimal view of a double metric column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Canonical aggregate OUTPUT type: DOUBLE. Summation happens in exact
+    * decimal (see dec) so order cannot matter; the single final
+    * decimal→double cast is correctly rounded and bit-identical across
+    * engines. DOUBLE (not DECIMAL) on the wire because every loader maps it
+    * to the same float64, whereas decimal columns surface as
+    * engine-dependent objects in the driver's compare.
+    */
+  def asDec(c: Column): Column = c.cast("double")
+}
