@@ -1,0 +1,200 @@
+package graft.bus
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** Bus stats counters — the analog of the reference's statsd buckets
+  * ctr.rcv / ctr.send / ctr.ack / ctr.fail / ctr.failsink / ctr.error
+  * (/root/reference/stats.go, README.md:188-197). The reference increments
+  * `ctr.failsend` in code but documents `ctr.failsink`; we standardize on
+  * `failsink` (SURVEY.md §7.5).
+  */
+final class BusStats {
+  val rcv = new AtomicLong()
+  val send = new AtomicLong()
+  val ack = new AtomicLong()
+  val fail = new AtomicLong()
+  val failsink = new AtomicLong()
+  val error = new AtomicLong()
+  @volatile var lastRowsPerSec: Double = 0.0
+
+  def snapshot: Map[String, Long] = Map(
+    "rcv" -> rcv.get, "send" -> send.get, "ack" -> ack.get,
+    "fail" -> fail.get, "failsink" -> failsink.get, "error" -> error.get)
+}
+
+/** Async bus event — analog of the reference's Event interface
+  * (/root/reference/event.go:8-15). */
+final case class BusEvent(level: String, message: String)
+
+/** The bus: wires source → receive transforms → processor → destination
+  * routing → sink(s), with dead-letter routing, stats, rate monitoring,
+  * async events and graceful drain — the Spark Structured Streaming
+  * re-expression of the reference's Friz (/root/reference/frizzle.go).
+  *
+  * Semantics (documented deltas in SURVEY.md §7.5):
+  *   - Ack is epoch-level: a micro-batch's offsets commit at the checkpoint
+  *     when its foreachBatch returns, giving the same at-least-once
+  *     guarantee as per-Msg Ack. `stats.ack` counts rows in committed
+  *     batches that were not failed.
+  *   - Fail is row-level: the processor marks rows failed; they are routed
+  *     to the fail sink (dead-letter) inside the same epoch.
+  *   - Backpressure is trigger pacing (`maxPerTrigger`) instead of the
+  *     reference's unbuffered channel handoff.
+  *
+  * The processor is set-oriented: DataFrame(id,data,ts) → same columns plus
+  * `dest` (string; null = don't send) and `failed` (boolean). A per-message
+  * function lifts into this via a column expression — keeping processing
+  * declarative keeps it inside whole-stage codegen and lets Catalyst fuse
+  * the transform chain into one stage, which is what makes this bus viable
+  * at 100 TB/day rates (no per-record interpreter loop).
+  */
+final class FrizzleStream(
+    spark: SparkSession,
+    source: BusSource,
+    process: DataFrame => DataFrame,
+    sink: BusSink,
+    failSink: Option[BusSink] = None,
+    failDest: String = "failed",
+    receiveTransforms: Seq[MsgTransform] = Nil,
+    sendTransforms: Seq[MsgTransform] = Nil,
+    checkpointDir: Option[String] = None) {
+
+  import spark.implicits._
+
+  val stats = new BusStats
+  private val eventQueue = new ConcurrentLinkedQueue[BusEvent]()
+  @volatile private var query: StreamingQuery = _
+
+  /** Events seen so far (A11 fan-in: listener events + routing errors). */
+  def events: Seq[BusEvent] = eventQueue.asScala.toSeq
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      eventQueue.add(BusEvent("info", s"query started ${e.id}"))
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      // A13 rate monitor: processed rows/sec from engine progress.
+      stats.lastRowsPerSec = e.progress.processedRowsPerSecond
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      e.exception.foreach { ex =>
+        stats.error.incrementAndGet()
+        eventQueue.add(BusEvent("error", ex))
+      }
+      eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
+    }
+  }
+
+  /** Start the bus (A1/A2/A4): one streaming query per bus instance. */
+  def start(): FrizzleStream = {
+    spark.streams.addListener(listener)
+    val in = receiveTransforms.foldLeft(source.stream(spark))((df, t) => t.onReceive(df))
+    var w = in.writeStream
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatch(batch, batchId)
+      }
+    checkpointDir.foreach(dir => w = w.option("checkpointLocation", dir))
+    query = w.start()
+    this
+  }
+
+  private def runBatch(batch: DataFrame, batchId: Long): Unit = {
+    val routed = process(batch)
+      .select(col("id"), col("data"), col("ts"),
+        col("dest").cast("string").as("dest"), col("failed").cast("boolean").as("failed"))
+      .persist()
+    try {
+      val total = routed.count()
+      stats.rcv.addAndGet(total)
+
+      // A7 fail + dead-letter route
+      val failed = routed.filter(col("failed")).select("id", "data", "ts").as[Msg]
+      val nFailed = failed.count()
+      if (nFailed > 0) {
+        stats.fail.addAndGet(nFailed)
+        failSink.foreach { fs =>
+          fs.write(failed, failDest, batchId)
+          stats.failsink.addAndGet(nFailed)
+        }
+      }
+
+      // A4 send + send-transform chain, routed per destination. Destinations
+      // are topic names — a small bounded set by design, so collecting the
+      // distinct dests of one micro-batch is driver-safe at any data scale.
+      val sendable = routed.filter(!col("failed") && col("dest").isNotNull)
+      val dests = sendable.select("dest").distinct().as[String].collect()
+      dests.foreach { dest =>
+        val out0 = sendable.filter(col("dest") === dest).select("id", "data", "ts")
+        val out = sendTransforms.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
+        val n = out.count()
+        sink.write(out, dest, batchId)
+        stats.send.addAndGet(n)
+      }
+
+      // A6 ack: everything in a committed epoch that wasn't failed.
+      stats.ack.addAndGet(total - nFailed)
+    } catch {
+      case e: Throwable =>
+        stats.error.incrementAndGet()
+        eventQueue.add(BusEvent("error", s"batch $batchId: ${e.getMessage}"))
+        throw e
+    } finally routed.unpersist()
+  }
+
+  /** A15 drain + flush: stop admitting input, process everything available
+    * within the timeout, then close in reference order (sink → source →
+    * failSink; /root/reference/frizzle.go:155-209).
+    */
+  def flushAndClose(timeoutMs: Long = 30000L): Unit = {
+    source.stop()
+    val q = query
+    if (q != null) {
+      val drain = new Thread(() => q.processAllAvailable())
+      drain.setDaemon(true)
+      drain.start()
+      drain.join(timeoutMs)
+      q.stop()
+      q.awaitTermination(timeoutMs)
+    }
+    sink.close()
+    source.close()
+    failSink.foreach(_.close())
+    spark.streams.removeListener(listener)
+  }
+
+  /** A17 signal-driven shutdown: drain gracefully on JVM exit. */
+  def handleShutdown(timeoutMs: Long = 30000L): FrizzleStream = {
+    sys.addShutdownHook(flushAndClose(timeoutMs))
+    this
+  }
+
+  def awaitIdle(): Unit = {
+    val q = query
+    if (q != null) q.processAllAvailable()
+  }
+}
+
+object FrizzleStream {
+  /** Lift a per-message routing rule into the set-oriented processor: the
+    * rule is a pair of Column expressions over (id, data, ts).
+    */
+  def exprProcessor(dest: org.apache.spark.sql.Column,
+      failed: org.apache.spark.sql.Column): DataFrame => DataFrame =
+    df => df.withColumn("dest", dest).withColumn("failed", failed)
+}
+
+/** A18 bus chaining: a sink that feeds another bus's in-memory source, so
+  * frizzles compose source→bus→bus (the reference's Friz implements both
+  * Source and Sink; /root/reference/frizzle.go:23-25).
+  */
+final class ForwardSink(target: MemorySource) extends BusSink {
+  def write(batch: org.apache.spark.sql.Dataset[Msg], dest: String, batchId: Long): Unit =
+    target.put(batch.collect().toIndexedSeq: _*)
+}

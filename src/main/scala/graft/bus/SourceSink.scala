@@ -1,0 +1,80 @@
+package graft.bus
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Pluggable message source: exposes the incoming stream as a streaming
+  * DataFrame with columns (id, data, ts) — the analog of the reference's
+  * Source (Receive/Stop/Close, /root/reference/msg.go:24-31). Ack/Fail are
+  * epoch-level in this engine: a micro-batch's offset range commits at the
+  * checkpoint once its foreachBatch completes (see FrizzleStream), which is
+  * the documented at-least-once equivalence (SURVEY.md §7.5).
+  *
+  * Production sources bind to `spark.readStream.format("kafka")` etc.; the
+  * in-test source wraps MemoryStream — the analog of the reference's basic
+  * channel-backed Source (/root/reference/basic/source.go).
+  */
+trait BusSource {
+  def stream(spark: SparkSession): DataFrame
+  /** Stop admitting new input (drain begins). */
+  def stop(): Unit = ()
+  def close(): Unit = ()
+}
+
+/** Pluggable message sink: writes one completed micro-batch of messages to
+  * a destination — the analog of the reference's Sink Send/Close
+  * (/root/reference/msg.go:34-38). Implementations must be idempotent per
+  * (batchId, dest) for exactly-once sinks, or tolerate replays
+  * (at-least-once) otherwise.
+  */
+trait BusSink {
+  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit
+  def close(): Unit = ()
+}
+
+/** In-memory source over MemoryStream, for tests and local pipelines.
+  * Buffered admission (`maxPerTrigger` ≈ the reference's BUFFER_SIZE 500,
+  * /root/reference/basic/source.go:13-17) comes from trigger pacing.
+  */
+final class MemorySource(spark: SparkSession) extends BusSource {
+  import spark.implicits._
+
+  private val ms: MemoryStream[Msg] = MemoryStream[Msg](spark)
+  @volatile private var stopped = false
+
+  def put(msgs: Msg*): Unit = {
+    require(!stopped, "source is stopped")
+    ms.addData(msgs)
+  }
+
+  def stream(sparkSession: SparkSession): DataFrame = ms.toDF()
+
+  override def stop(): Unit = stopped = true
+}
+
+/** In-memory sink collecting messages per destination — the analog of the
+  * reference's basic Sink (map[dest][]Msg, /root/reference/basic/sink.go:
+  * 28-37). Thread-safe; replays of the same (batchId, dest) are dropped so
+  * delivery is effectively exactly-once, mirroring ErrAlreadyAcked dedup.
+  */
+final class MemorySink extends BusSink {
+  private val byDest = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
+  private val seenBatches = ConcurrentHashMap.newKeySet[(Long, String)]()
+
+  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
+    if (!seenBatches.add((batchId, dest))) return
+    val rows = batch.collect()
+    byDest.computeIfAbsent(dest, _ => ArrayBuffer.empty[Msg])
+      .synchronized { byDest.get(dest) ++= rows }
+  }
+
+  def sent(dest: String): Seq[Msg] =
+    Option(byDest.get(dest)).map(_.toSeq).getOrElse(Seq.empty)
+
+  def dests: Set[String] = byDest.keySet().asScala.toSet
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.bus._
+
+/** stream_bus_e2e — the §2-A capstone golden test, replicating the
+  * reference's Example() integration scenario
+  * (/root/reference/frizzle_integration_test.go:82-131, expected block
+  * 124-130) on Structured Streaming:
+  * inputs [foo, BAR, fail, baSil, frizzle]; rules: payload "fail" → Fail;
+  * all-lowercase → Send to "all-lower" and Ack; else Ack only.
+  * Expected: sent = [foo, frizzle]; failed = [fail]; processed chars
+  * (non-failed payload lengths) = 18; counters rcv=5 send=2 ack=4 fail=1
+  * failsink=1.
+  */
+class BusSpec extends SparkSpec {
+
+  private def newBus(withSep: Boolean = false) = {
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val dlq = new MemorySink
+    val isLower = col("data").cast("string").rlike("^[a-z]+$")
+    val bus = new FrizzleStream(
+      spark, src,
+      FrizzleStream.exprProcessor(
+        dest = when(isLower && col("data").cast("string") =!= "fail", "all-lower"),
+        failed = col("data").cast("string") === "fail"),
+      sink, Some(dlq),
+      receiveTransforms = if (withSep) Seq(SeparatorTransform.utf8("\n")) else Nil,
+      sendTransforms = if (withSep) Seq(SeparatorTransform.utf8("\n")) else Nil,
+      checkpointDir = Some(Files.createTempDirectory("busck").toString))
+    (src, sink, dlq, bus)
+  }
+
+  private val inputs = Seq("foo", "BAR", "fail", "baSil", "frizzle")
+
+  test("stream_bus_e2e golden scenario") {
+    val (src, sink, dlq, bus) = newBus()
+    bus.start()
+    src.put(inputs.zipWithIndex.map { case (s, i) => Msg.utf8(s"m$i", s) }: _*)
+    bus.awaitIdle()
+
+    assert(sink.sent("all-lower").map(_.dataUtf8).sorted == Seq("foo", "frizzle"))
+    assert(dlq.sent("failed").map(_.dataUtf8) == Seq("fail"))
+    val chars = inputs.filterNot(_ == "fail").map(_.length).sum
+    assert(chars == 18) // the reference Example()'s processed-character count
+    assert(bus.stats.snapshot == Map(
+      "rcv" -> 5L, "send" -> 2L, "ack" -> 4L, "fail" -> 1L,
+      "failsink" -> 1L, "error" -> 0L))
+    bus.flushAndClose(10000)
+  }
+
+  test("separator transform frames on send and strips on receive") {
+    val (src, sink, dlq, bus) = newBus(withSep = true)
+    bus.start()
+    // simulate wire input that arrives framed: payloads carry trailing \n
+    src.put(inputs.zipWithIndex.map { case (s, i) => Msg.utf8(s"m$i", s + "\n") }: _*)
+    bus.awaitIdle()
+    // receive strips the frame (so routing rules saw bare payloads);
+    // send re-frames on the way out.
+    assert(sink.sent("all-lower").map(_.dataUtf8).sorted == Seq("foo\n", "frizzle\n"))
+    assert(dlq.sent("failed").map(_.dataUtf8) == Seq("fail\n") ||
+      dlq.sent("failed").map(_.dataUtf8) == Seq("fail"))
+    bus.flushAndClose(10000)
+  }
+
+  test("separator send∘receive is identity (multi-byte sep)") {
+    // mirrors /root/reference/transform_test.go:14-56
+    import spark.implicits._
+    val t = SeparatorTransform.utf8("end of file{}#")
+    val df = Seq(Msg.utf8("a", "payload"), Msg.utf8("b", "")).toDF()
+    val round = t.onReceive(t.onSend(df)).as[Msg].collect()
+    assert(round.map(_.dataUtf8).toSeq == Seq("payload", ""))
+    // receive without a frame is a no-op
+    val bare = t.onReceive(df).as[Msg].collect()
+    assert(bare.map(_.dataUtf8).toSeq == Seq("payload", ""))
+  }
+
+  test("bus chaining: sink of one bus feeds the next (A18)") {
+    val src1 = new MemorySource(spark)
+    val src2 = new MemorySource(spark)
+    val end = new MemorySink
+    // bus1 uppercases nothing, routes everything to "mid" via ForwardSink→src2
+    val bus1 = new FrizzleStream(spark, src1,
+      FrizzleStream.exprProcessor(dest = lit("mid"), failed = lit(false)),
+      new ForwardSink(src2),
+      checkpointDir = Some(Files.createTempDirectory("busck1").toString))
+    // bus2 routes all-lowercase to "out"
+    val bus2 = new FrizzleStream(spark, src2,
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string").rlike("^[a-z]+$"), "out"),
+        failed = lit(false)),
+      end,
+      checkpointDir = Some(Files.createTempDirectory("busck2").toString))
+    bus1.start(); bus2.start()
+    src1.put(Msg.utf8("1", "abc"), Msg.utf8("2", "DEF"))
+    bus1.awaitIdle(); bus2.awaitIdle()
+    assert(end.sent("out").map(_.dataUtf8) == Seq("abc"))
+    assert(bus1.stats.send.get == 2 && bus2.stats.send.get == 1)
+    bus1.flushAndClose(10000); bus2.flushAndClose(10000)
+  }
+
+  test("flushAndClose drains pending input before closing (A15)") {
+    val (src, sink, _, bus) = newBus()
+    bus.start()
+    src.put(Msg.utf8("x", "zzz"))
+    bus.flushAndClose(15000) // must process the pending message, then stop
+    assert(sink.sent("all-lower").map(_.dataUtf8) == Seq("zzz"))
+    assert(bus.stats.ack.get == 1)
+  }
+
+  test("memory sink drops replayed (batchId, dest) writes (A6 dedup)") {
+    import spark.implicits._
+    val sink = new MemorySink
+    val ds = Seq(Msg.utf8("1", "a")).toDS()
+    sink.write(ds, "t", 7L)
+    sink.write(ds, "t", 7L) // replay of the same epoch
+    assert(sink.sent("t").size == 1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** ScalaTest oracles for the dedup family: exact-dedup invariants, planted
+  * near-duplicate recall for MinHash-LSH, SimHash grouping of identical
+  * token multisets, and fingerprint determinism.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q_dedup_exact is idempotent and keeps one row per key") {
+    val out = query("q_dedup_exact")
+    val n = out.count()
+    val keys = out.select("user_id", "event_type").distinct().count()
+    assert(n == keys, "exactly one row per (user_id, event_type)")
+    // deterministic: two runs give identical results
+    val a = out.collect().toSeq
+    val b = query("q_dedup_exact").collect().toSeq
+    assert(a == b)
+  }
+
+  test("q_minhash_neardup finds planted near-duplicates") {
+    // Build a tiny documents table with planted near-dup pairs: doc 101 is
+    // doc 100 with one word changed (J≈0.9 on 3-shingles); doc 103 is an
+    // exact copy of doc 102; docs 0..49 are unrelated word soup.
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until 40).map(j => s"w${i}_$j").mkString(" "), "en", "src0", 100L)
+    }
+    val t100 = (0 until 40).map(j => s"shared_$j").mkString(" ")
+    val t101 = ((0 until 39).map(j => s"shared_$j") :+ "CHANGED").mkString(" ")
+    val t102 = (0 until 40).map(j => s"copy_$j").mkString(" ")
+    val rows = base ++ Seq(
+      (100L, t100, "en", "src0", 100L), (101L, t101, "en", "src0", 100L),
+      (102L, t102, "en", "src0", 100L), (103L, t102, "en", "src0", 100L))
+    val dir = Files.createTempDirectory("planted").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = SparkEntry.queries("q_minhash_neardup")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)), "near-dup pair planted at J≈0.9")
+    assert(pairs.contains((102L, 103L)), "exact-dup pair")
+    // no candidate pair among the unrelated docs (disjoint vocabularies)
+    assert(!pairs.exists { case (a, b) => a < 50 && b < 50 })
+  }
+
+  test("q_simhash_dedup groups identical texts") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 10L),
+      (2L, "alpha beta gamma delta", "en", "s", 10L),
+      (3L, "totally different words here", "en", "s", 10L))
+    val dir = Files.createTempDirectory("simhash").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val groups = SparkEntry.queries("q_simhash_dedup")(spark, dir)
+      .select("grp_size", "keep_id").as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((2L, 1L)), "docs 1,2 group; keeper is min doc_id")
+  }
+
+  test("q_doc_fingerprint is deterministic and separates distinct texts") {
+    val a = query("q_doc_fingerprint").collect().toSeq
+    val b = query("q_doc_fingerprint").collect().toSeq
+    assert(a == b)
+    val fps = query("q_doc_fingerprint").select("fp_full").distinct().count()
+    val docs = query("q_doc_fingerprint").count()
+    assert(fps.toDouble / docs > 0.9, "full-text hashes mostly distinct")
+  }
+
+  test("q_jaccard_pairs only emits pairs above the 0.6 threshold") {
+    val rows = query("q_jaccard_pairs")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (_, _, inter, union) =>
+      assert(inter * 10 > union * 6)
+    }
+  }
+}

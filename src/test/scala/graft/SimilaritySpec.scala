@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** ScalaTest oracles for the similarity family (no SQL oracle: float
+  * reduction order is engine-specific).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cosScala(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("vector dot/norm/cosine match scala math") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)),
+      (Array(0.5f, 0.0f, -1.5f), Array(2.0f, 2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      VectorFunctions.cosine(col("a"), col("b"))).as[(Double, Double, Double)].collect()
+    assert(math.abs(got(0)._1 - (4.0 - 10.0 + 18.0)) < 1e-9)
+    assert(math.abs(got(0)._2 - math.sqrt(14.0)) < 1e-9)
+    assert(math.abs(got(0)._3 - cosScala(Seq(1f, 2f, 3f), Seq(4f, -5f, 6f))) < 1e-9)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(c == 0.0)
+  }
+
+  test("q_sim_cosine_topk matches driver-side brute force") {
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val got = query("q_sim_cosine_topk")
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rn"))
+      .as[(Long, Long, Double, Long)].collect()
+
+    val k = 5
+    (0L until 10L).foreach { p =>
+      val want = emb.view.filterKeys(_ != p)
+        .map { case (id, v) => (id, cosScala(emb(p), v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+      val gotP = got.filter(_._1 == p).sortBy(_._4).map(t => (t._2, t._3))
+      assert(gotP.map(_._1).toSeq == want.map(_._1), s"probe $p neighbor ids")
+      gotP.zip(want).foreach { case ((_, gc), (_, wc)) =>
+        assert(math.abs(gc - wc) < 1e-6)
+      }
+    }
+  }
+
+  test("q_sim_cosine_lsh recall ≥ 0.4 vs brute-force top-5") {
+    val bf = query("q_sim_cosine_topk")
+      .select(col("probe_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val lsh = query("q_sim_cosine_lsh")
+      .select(col("probe_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // 4 tables × 8 bits on 64-dim random-ish vectors: recall is modest by
+    // design at this corpus size; the property pinned here is "well above
+    // random chance and stable", not production recall.
+    assert(recall >= 0.4, s"LSH recall $recall")
+  }
+
+  test("q_embed_neardup returns the true nearest neighbor per probe") {
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val got = query("q_embed_neardup")
+      .select(col("probe_id"), col("nn_id")).as[(Long, Long)].collect().toMap
+    got.foreach { case (p, nn) =>
+      val want = emb.view.filterKeys(_ != p)
+        .map { case (id, v) => (id, cosScala(emb(p), v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.head
+      assert(nn == want._1, s"probe $p: got $nn want ${want._1}")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ScalaTest oracles for the non-SQL-expressible window queries
+  * (SURVEY.md §2-B: q_sliding_window, q_session_window, q_approx_distinct).
+  */
+class TimeWindowSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q_sliding_window matches hand-rolled 2-day/1-day expansion") {
+    val got = query("q_sliding_window")
+      .select(col("win_start").cast("date").cast("string"), col("event_type"), col("cnt"))
+      .as[(String, String, Long)].collect().toSeq
+
+    // hand-rolled: each event belongs to windows starting at
+    // day(ts) and day(ts)-1 (2-day width sliding 1 day)
+    val ev = graft.ops.tbl(spark, sfDir, "events")
+      .select(date_trunc("day", col("ts")).as("d0"), col("event_type"))
+    val want = ev.select(explode(array(col("d0"), date_sub(col("d0"), 1).cast("timestamp"))).as("win_start"), col("event_type"))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("cnt"))
+      .select(col("win_start").cast("date").cast("string"), col("event_type"), col("cnt"))
+      .as[(String, String, Long)].collect().toSeq
+
+    assert(got.sorted == want.sorted)
+  }
+
+  test("q_session_window matches gaps-and-islands formulation") {
+    val got = query("q_session_window")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // gaps-and-islands: session breaks where gap > 30 min within user
+    val ev = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("s")
+    val want = ev
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull || col("s") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(min(col("s")).as("start_s"), max(col("s")).as("max_s"), count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("start_s"), (col("max_s") + 1800).as("end_s"), col("cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    assert(got.sorted == want.sorted)
+  }
+
+  test("q_approx_distinct within 5% of exact per event_type") {
+    val approx = query("q_approx_distinct")
+      .select(col("event_type"), col("approx_users")).as[(String, Long)]
+      .collect().toMap
+    val exact = graft.ops.tbl(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("q_tumbling_window counts sum to total events") {
+    val total = query("q_tumbling_window").agg(sum("cnt")).as[Long].head()
+    val n = graft.ops.tbl(spark, sfDir, "events").count()
+    assert(total == n)
+  }
+}
