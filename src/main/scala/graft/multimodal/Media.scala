@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import java.sql.Timestamp
+
+/** Multimodal column model: media payloads are opaque `binary` columns with
+  * typed, prunable metadata — never parsed structs of pixels. At 100 TB the
+  * payload column stays untouched (Parquet column pruning skips it) unless
+  * an operator explicitly decodes, and decode runs batched per partition.
+  *
+  * The reference has no media surface (its payload is already opaque bytes,
+  * /root/reference/msg.go:18); this module is part of the mandated
+  * LLM-pipeline extension.
+  */
+final case class MediaItem(
+    media_id: Long,
+    media_type: String, // "image/png", "audio/wav", "video/mp4", ...
+    content: Array[Byte], // opaque payload; decode is an explicit op
+    width: Int, // -1 = unknown
+    height: Int,
+    duration_ms: Long, // -1 = unknown
+    captured_at: Timestamp)
+
+/** Decoded-image record produced by ImageOps.decode. */
+final case class DecodedImage(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    mean_luma: Double)
+
+/** Per-media feature vector (fixed dim), ready for the similarity ops. */
+final case class MediaFeatures(
+    media_id: Long,
+    features: Array[Float])
+
+/** One sampled frame of a video payload. */
+final case class Frame(
+    media_id: Long,
+    frame_idx: Int,
+    frame_ms: Long,
+    frame_bytes: Array[Byte])

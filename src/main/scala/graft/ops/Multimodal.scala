@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.multimodal.MediaOps
+
+/** Multimodal-column queries (north-star op family): the documents fixture
+  * is viewed as opaque binary media payloads with typed metadata
+  * (graft.multimodal), then decoded / frame-sampled / embedded via batched
+  * per-partition operators. Decode internals are a deterministic codec stub
+  * (no native codecs in the image) — the plumbing and plan shapes are real.
+  *
+  * No SQL oracle (codec outputs are engine-specific); invariants are pinned
+  * by graft.MultimodalSpec.
+  */
+object Multimodal {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_media_decode",
+      (s, d) => {
+        MediaOps.decodeImages(MediaOps.mediaFromDocuments(s, d))
+          .toDF()
+          .orderBy(asc_nulls_first("media_id"))
+      },
+      None
+    ),
+    Q(
+      "q_media_frames",
+      (s, d) => {
+        MediaOps.sampleFrames(MediaOps.mediaFromDocuments(s, d), 4)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+            length(col("frame_bytes")).cast("long").as("frame_len"))
+          .orderBy(asc_nulls_first("media_id"), asc_nulls_first("frame_idx"))
+      },
+      None
+    ),
+    Q(
+      "q_media_features_topk",
+      (s, d) => {
+        // media → fixed-dim embedding → exact cosine top-3 for 5 probes:
+        // the multimodal bridge into the similarity family.
+        val feats = MediaOps.extractFeatures(MediaOps.mediaFromDocuments(s, d))
+          .toDF()
+          .select(col("media_id"), col("features"), norm(col("features")).as("nrm"))
+        val probes = feats.filter(col("media_id") < 5)
+          .select(col("media_id").as("probe_id"), col("features").as("pf"),
+            col("nrm").as("pn"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(desc_nulls_last("cos_sim"), asc_nulls_first("media_id"))
+        feats.crossJoin(broadcast(probes))
+          .filter(col("media_id") =!= col("probe_id"))
+          .withColumn("cos_sim",
+            dot(col("features"), col("pf")) / (col("nrm") * col("pn")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("probe_id"), col("media_id"), col("cos_sim"),
+            col("rn").cast("long").as("rn"))
+          .orderBy(asc_nulls_first("probe_id"), asc_nulls_first("rn"))
+      },
+      None
+    )
+  )
+}
