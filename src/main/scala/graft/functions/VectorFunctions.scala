@@ -13,13 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float vectors (double accumulator). */
+  /** Dot product of two float vectors (double accumulator). Native Catalyst
+    * expression with codegen (graft.expr.VectorDot) — a tight primitive
+    * loop, no per-element lambda frames; bit-identical to [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expr.VectorExpressions.vectorDot(a, b)
+
+  /** Higher-order-function dot product (zip_with + aggregate); the
+    * all-built-ins reference implementation that [[dot]] must match.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Squared L2 norm. */
-  def normSq(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+  def normSq(v: Column): Column = dot(v, v)
 
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(normSq(v))

@@ -32,6 +32,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0)._3 - cosScala(Seq(1f, 2f, 3f), Seq(4f, -5f, 6f))) < 1e-9)
   }
 
+  test("native VectorDot is bit-identical to the higher-order-function dot") {
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("embedding").as("b"))))
+    val diff = pairs.select(
+      (VectorFunctions.dot(col("a"), col("b")) =!=
+        VectorFunctions.dotHof(col("a"), col("b"))).as("ne"))
+      .filter(col("ne")).count()
+    assert(diff == 0, "native and HOF dot must agree exactly on every pair")
+  }
+
+  test("VectorDot doGenCode compiles under CODEGEN_ONLY (no interpreter fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      val v = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
+      assert(v == 11.0)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()

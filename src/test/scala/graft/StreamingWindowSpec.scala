@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingWindows
+
+/** Streaming window semantics: tumbling aggregation under a watermark emits
+  * finalized windows in append mode and DROPS rows later than the
+  * watermark — the bounded-state behavior that makes windowed aggregation
+  * viable on an unbounded 100 TB/day stream.
+  */
+class StreamingWindowSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  final case class Ev(ts: Timestamp, value: Double)
+
+  test("tumbling window with watermark drops late rows in append mode") {
+    val in = MemoryStream[Ev](spark)
+    val out = StreamingWindows.tumbling(in.toDF(), "ts", "10 minutes", "5 minutes")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("tumbling_wm")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two rows in the 10:00 window, one in 10:10
+      in.addData(Ev(ts("2024-01-01 10:02:00"), 1.0), Ev(ts("2024-01-01 10:07:00"), 2.0),
+        Ev(ts("2024-01-01 10:11:00"), 4.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far enough that watermark (max-5min)
+      // passes 10:10 → the 10:00 window finalizes and emits
+      in.addData(Ev(ts("2024-01-01 10:30:00"), 8.0))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the already-finalized 10:00 window → dropped
+      in.addData(Ev(ts("2024-01-01 10:03:00"), 100.0))
+      q.processAllAvailable()
+      // batch 4: advance watermark past everything open so 10:10 emits too
+      in.addData(Ev(ts("2024-01-01 11:00:00"), 16.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("tumbling_wm")
+        .select($"win_start".cast("string"), $"cnt", $"sum_value")
+        .as[(String, Long, Double)].collect().toMap2
+      assert(rows("2024-01-01 10:00:00") == ((2L, 3.0)),
+        "late row must NOT be merged into the finalized 10:00 window")
+      assert(rows("2024-01-01 10:10:00") == ((1L, 4.0)))
+      assert(!rows.contains("2024-01-01 11:00:00") || rows.size >= 2)
+    } finally q.stop()
+  }
+
+  test("streaming session window merges within gap across batches") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamingWindows.session(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id", "30 minutes", "10 minutes")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("session_wm")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((ts("2024-01-01 09:00:00"), 1L), (ts("2024-01-01 09:10:00"), 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 09:20:00"), 1L)) // still same session
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 12:00:00"), 1L)) // big gap → closes session
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 1L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_wm")
+        .select($"session_start".cast("string"), $"cnt")
+        .as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 09:00:00") == 3L,
+        "three events within 30-minute gaps form ONE session")
+    } finally q.stop()
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
