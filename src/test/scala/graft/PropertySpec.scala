@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.bus.{Msg, SeparatorTransform}
+
+/** ScalaCheck properties over generated inputs (SURVEY.md §5 item 3):
+  * the reference asserts transform send∘receive = identity on fixed
+  * fixtures (/root/reference/transform_test.go:14-56); here the same laws
+  * hold for arbitrary payloads and separators, plus dedup idempotence and
+  * minhash signature invariance. Uses raw ScalaCheck (the scalatest bridge
+  * artifact is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val payloadGen: Gen[String] =
+    Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)
+  private val sepGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString))
+
+  test("separator transform: send then receive is identity for any payload/sep") {
+    check(Prop.forAll(Gen.listOfN(6, payloadGen), sepGen) { (payloads, sep) =>
+      val t = SeparatorTransform.utf8(sep)
+      val df = payloads.zipWithIndex.map { case (p, i) => Msg.utf8(f"m$i%03d", p) }.toDF()
+      val round = t.onReceive(t.onSend(df)).as[Msg].collect()
+        .sortBy(_.id).map(_.dataUtf8).toSeq
+      round == payloads
+    }, n = 15)
+  }
+
+  test("separator transform: receive strips exactly one trailing separator") {
+    check(Prop.forAll(payloadGen, sepGen) { (p, sep) =>
+      if (p.endsWith(sep)) true
+      else {
+        val t = SeparatorTransform.utf8(sep)
+        val df = Seq(Msg.utf8("a", p + sep + sep)).toDF()
+        t.onReceive(df).as[Msg].head().dataUtf8 == p + sep
+      }
+    }, n = 15)
+  }
+
+  test("window-dedup is idempotent: dedup(dedup(x)) = dedup(x)") {
+    val rowsGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(1L, 5L), Gen.oneOf("a", "b"), Gen.choose(0L, 30L)))
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex
+          .map { case ((u, t, s), i) =>
+            (i.toLong, u, t, new java.sql.Timestamp(s * 1000))
+          }
+          .toDF("event_id", "user_id", "event_type", "ts")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(asc("ts"), asc("event_id"))
+        def dedup(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        val once = dedup(df).collect().sortBy(_.getLong(0)).toSeq
+        val twice = dedup(dedup(df)).collect().sortBy(_.getLong(0)).toSeq
+        once == twice
+      }
+    }, n = 10)
+  }
+
+  test("minhash signatures of identical docs collide on every hash") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val sigs = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id")
+        .agg(array((0 until 8).map(h => min(xxhash64(lit(h), col("tok")))): _*).as("sig"))
+        .select("sig").as[Seq[Long]].collect()
+      sigs(0) == sigs(1)
+    }, n = 10)
+  }
+
+  test("UTF-8 payload round-trips through Msg bytes for any string") {
+    check(Prop.forAll { (s: String) =>
+      Msg.utf8("id", s).dataUtf8 == new String(
+        s.getBytes(StandardCharsets.UTF_8), StandardCharsets.UTF_8)
+    }, n = 50)
+  }
+}
