@@ -1,0 +1,58 @@
+package graft.bus
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-backed source/sink pair: a directory of parquet files as the
+  * message stream (new files are new messages — Spark's file source tracks
+  * processed files in the checkpoint, the analog of the unacked map), and a
+  * partitioned parquet sink routed by destination.
+  *
+  * This is the offline-friendly persistent binding of the Source/Sink
+  * traits; the Kafka/Kinesis bindings (KafkaAdapters) share the same
+  * contract.
+  */
+object FileAdapters {
+
+  val msgSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("data", BinaryType),
+    StructField("ts", TimestampType)))
+
+  /** Streaming source over a parquet directory of (id, data, ts) rows.
+    * `maxFilesPerTrigger` is the admission-control knob (the analog of the
+    * reference's BUFFER_SIZE, /root/reference/basic/source.go:13-17).
+    */
+  final class ParquetDirSource(dir: String, maxFilesPerTrigger: Int = 10)
+      extends BusSource {
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream
+        .schema(msgSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir)
+  }
+
+  /** Sink writing each batch under outDir/dest=<dest>/ as parquet. Files
+    * are written once per (batchId, dest) task; downstream readers see a
+    * dest-partitioned table — the queryable DLQ/track-fails analog
+    * (/root/reference/basic/source.go:47-49).
+    */
+  final class ParquetDirSink(outDir: String) extends BusSink {
+    def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit =
+      batch.toDF()
+        .withColumn("dest", lit(dest))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("dest").parquet(outDir)
+  }
+}
+
+/** No-op sink: accepts and drops everything — the reference's MOCK mode
+  * (basic/source.go:82-84, sink.go:29-31; README.md:183), for dry runs and
+  * tests that only observe counters.
+  */
+final class NoopSink extends BusSink {
+  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
+    batch.queryExecution.toRdd.count(): Unit // evaluate, discard
+  }
+}

@@ -146,16 +146,23 @@ object TextOps {
       // oracle; invariance properties are asserted in ScalaTest.
       "q_doc_fingerprint",
       (s, d) => {
+        // explode → hash once per shingle → MIN/MAX partial aggregates
+        // (map-side combine; same scale shape as q_minhash_neardup — the
+        // per-row nested-transform form re-built and re-hashed the shingle
+        // array per output column).
         val toks = split(col("text"), " ")
         val n = size(toks)
         val shingles = transform(
           sequence(lit(1), greatest(n - 3, lit(1))),
           i => concat_ws(" ", slice(toks, i, lit(4))))
         tbl(s, d, "documents")
-          .select(col("doc_id"),
-            array_min(transform(shingles, sh => xxhash64(sh))).as("fp_min"),
-            array_max(transform(shingles, sh => xxhash64(sh))).as("fp_max"),
-            xxhash64(col("text")).as("fp_full"))
+          .select(col("doc_id"), xxhash64(col("text")).as("fp_full"),
+            explode(shingles).as("sh"))
+          .groupBy("doc_id", "fp_full")
+          .agg(
+            min(xxhash64(col("sh"))).as("fp_min"),
+            max(xxhash64(col("sh"))).as("fp_max"))
+          .select("doc_id", "fp_min", "fp_max", "fp_full")
           .orderBy(asc_nulls_first("doc_id"))
       },
       None
