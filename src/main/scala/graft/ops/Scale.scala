@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives for the 100 TB design point.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge joins at
+  * runtime; these helpers cover the two cases AQE can't: a hot key whose
+  * rows must still aggregate/join through one reducer, and plans where the
+  * skew is known ahead of time and a deterministic layout is preferred.
+  */
+object Scale {
+
+  /** Deterministic per-row salt in [0, nSalts): hash of the given columns.
+    * Content-derived (not partition- or order-derived), so replays and
+    * retries salt identically — a random or partition-id salt would break
+    * determinism and exactly-once sinks.
+    */
+  def salt(nSalts: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(nSalts.toLong)).cast("int")
+
+  /** Salted equi-join: spread a skewed fact key across `nSalts` reducers by
+    * salting the fact side on full-row content and replicating each dim row
+    * to every salt. Dim grows nSalts× (bounded: use for genuinely small dim
+    * sides that still can't broadcast, or hot-key subsets); the fact side's
+    * hot key fans out to nSalts parallel streams.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalts: Int,
+      saltCols: Seq[String]): DataFrame = {
+    val salted = fact.withColumn("__salt", salt(nSalts, saltCols.map(col): _*))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for distributive aggregates over a skewed
+    * group key: partial-aggregate on (key, salt) — nSalts parallel partial
+    * states per hot key — then final-aggregate on key. Equivalent to the
+    * direct groupBy for SUM/COUNT/MIN/MAX.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, nSalts: Int,
+      saltCols: Seq[String]): DataFrame =
+    df.withColumn("__salt", salt(nSalts, saltCols.map(col): _*))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).cast("long").as("cnt"))
+}

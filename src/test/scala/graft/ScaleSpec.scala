@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+
+/** Scale-technique invariants: salted join/agg equivalence on skewed data,
+  * and bucketed tables eliminating the join shuffle.
+  */
+class ScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def skewed = {
+    // 10k rows of hot key 1, a tail of keys 2..50
+    val hot = (1 to 10000).map(i => (1L, i.toDouble))
+    val tail = (2 to 50).flatMap(k => (1 to 20).map(i => (k.toLong, i.toDouble)))
+    (hot ++ tail).toDF("k", "v")
+  }
+
+  test("saltedSum equals direct groupBy sum on skewed keys") {
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val salted = Scale.saltedSum(skewed, "k", "v", nSalts = 8, saltCols = Seq("k", "v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedJoin equals plain join and spreads the hot key") {
+    val dim = (1 to 50).map(k => (k.toLong, s"name$k")).toDF("k", "name")
+    val plain = skewed.join(dim, "k").groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val salted = Scale.saltedJoin(skewed, dim, "k", nSalts = 8, saltCols = Seq("k", "v"))
+      .groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(salted == plain)
+    // the hot key's rows really occupy multiple salt buckets
+    val buckets = skewed.filter(col("k") === 1)
+      .select(Scale.salt(8, col("k"), col("v")).as("s"))
+      .distinct().count()
+    assert(buckets > 4, s"hot key spread over $buckets salt buckets")
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    // managed-table locations survive a crashed prior run; clear them
+    Seq("b_orders", "b_cust").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    graft.ops.tbl(spark, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    graft.ops.tbl(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_cust")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_cust"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(joined.count() == graft.ops.tbl(spark, sfDir, "orders")
+      .join(graft.ops.tbl(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count())
+  }
+}
