@@ -112,6 +112,21 @@ class BusSpec extends SparkSpec {
     assert(bus.stats.ack.get == 1)
   }
 
+  test("failing processor surfaces error stats and events (A14)") {
+    val src = new MemorySource(spark)
+    val bus = new FrizzleStream(spark, src,
+      process = df => df.withColumn("dest", lit("x"))
+        .withColumn("failed", expr("raise_error('boom')").isNotNull),
+      sink = new MemorySink,
+      checkpointDir = Some(java.nio.file.Files.createTempDirectory("buserr").toString))
+    bus.start()
+    src.put(Msg.utf8("1", "a"))
+    intercept[Exception](bus.awaitIdle())
+    assert(bus.stats.error.get >= 1, "batch failure must increment ctr.error")
+    assert(bus.events.exists(_.level == "error"), "an error event must be emitted")
+    try bus.flushAndClose(5000) catch { case _: Exception => () } // already dead
+  }
+
   test("memory sink drops replayed (batchId, dest) writes (A6 dedup)") {
     import spark.implicits._
     val sink = new MemorySink
