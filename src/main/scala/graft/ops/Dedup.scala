@@ -62,6 +62,29 @@ object Dedup {
              |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      "q_dedup_docs_exact",
+      (s, d) => {
+        // Exact corpus dedup by content hash-groupBy (the cheapest dedup
+        // tier): keep the lowest doc_id per identical text, report group
+        // size. Shuffle carries (hash, min-id, count) partial states — at
+        // corpus scale group on xxhash64(text) so the wire never carries
+        // full documents; here the oracle needs engine-neutral keys, so the
+        // SQL groups on text while Spark groups on (hash, text) — same
+        // groups, hash is only a shuffle-key prefix.
+        tbl(s, d, "documents")
+          .groupBy(xxhash64(col("text")).as("h"), col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("grp_size"))
+          .select(col("keep_id"), col("grp_size"),
+            length(col("text")).cast("int").as("text_len"))
+          .orderBy(asc_nulls_first("keep_id"))
+      },
+      Some("""SELECT keep_id, grp_size, text_len FROM (
+             |  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS grp_size,
+             |    CAST(LENGTH(text) AS INT) AS text_len
+             |  FROM documents GROUP BY text
+             |) ORDER BY keep_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_minhash_neardup",
       (s, d) => {
         // Banded MinHash-LSH candidate pairs over documents. hashIdx h uses

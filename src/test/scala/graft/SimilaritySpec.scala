@@ -96,6 +96,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall")
   }
 
+  test("q_sim_cosine_ivf recall ≥ 0.5 vs brute-force top-5 and subset-correct") {
+    val bf = query("q_sim_cosine_topk")
+      .select(col("probe_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val ivf = query("q_sim_cosine_ivf")
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+    val recall = (bf & ivf.map(t => (t._1, t._2)).toSet).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // scores must be the exact cosine (re-score inside cells is exact)
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    ivf.foreach { case (p, v, c) =>
+      assert(math.abs(c - cosScala(emb(p), emb(v))) < 1e-6)
+    }
+  }
+
   test("q_embed_neardup returns the true nearest neighbor per probe") {
     val emb = graft.ops.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
