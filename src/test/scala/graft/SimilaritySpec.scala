@@ -57,6 +57,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vector_dot is callable from SQL after extension registration") {
+    graft.expr.GraftExtensions.register(spark)
+    val v = spark.sql("SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").as[Double].head()
+    assert(v == 11.0)
+    // type checking rejects non-float arrays with the custom message
+    val err = intercept[Exception](
+      spark.sql("SELECT vector_dot(array(1.0), array(2.0))").collect())
+    assert(err.getMessage.contains("array<float>"))
+  }
+
   test("cosine of zero vector is 0, not NaN") {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
