@@ -125,15 +125,17 @@ object Dedup {
         // partial aggregates (map-side combine; shuffle = 64 longs/doc),
         // then assemble the fingerprint and group. A per-row 64-pass
         // array-lambda chain re-hashes every token 64× — not scale-safe.
-        val tokHash = xxhash64(col("tok"))
+        // hash each token ONCE in the projection; the 64 bit-sum aggregates
+        // only shift/mask the precomputed hash (xxhash64 inside every
+        // aggregate expression would re-hash 64× per token — CSE does not
+        // cross aggregate boundaries).
+        val bitAgg = (j: Int) =>
+          sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
         val bitSums = tbl(s, d, "documents")
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("th"))
           .groupBy("doc_id")
-          .agg((0 until 64).map { j =>
-            sum(when(shiftright(tokHash, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-          }.head, (1 until 64).map { j =>
-            sum(when(shiftright(tokHash, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-          }: _*)
+          .agg(bitAgg(0), (1 until 64).map(bitAgg): _*)
         val fp = (0 until 64).map(j =>
           when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
         bitSums
