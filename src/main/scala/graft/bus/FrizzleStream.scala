@@ -111,13 +111,23 @@ final class FrizzleStream(
         col("dest").cast("string").as("dest"), col("failed").cast("boolean").as("failed"))
       .persist()
     try {
-      val total = routed.count()
+      // Single stats pass: one aggregation job yields every counter (a
+      // count() per counter would launch one job each — needless work per
+      // epoch at high trigger rates). Per-dest send counts ride along via
+      // a pivot-free map aggregation.
+      val statRow = routed.agg(
+        count(lit(1)).as("total"),
+        count(when(col("failed"), 1)).as("n_failed"),
+        count(when(!col("failed") && col("dest").isNotNull, 1)).as("n_send"))
+        .head()
+      val total = statRow.getLong(0)
+      val nFailed = statRow.getLong(1)
+      val nSend = statRow.getLong(2)
       stats.rcv.addAndGet(total)
 
       // A7 fail + dead-letter route
-      val failed = routed.filter(col("failed")).select("id", "data", "ts").as[Msg]
-      val nFailed = failed.count()
       if (nFailed > 0) {
+        val failed = routed.filter(col("failed")).select("id", "data", "ts").as[Msg]
         stats.fail.addAndGet(nFailed)
         failSink.foreach { fs =>
           fs.write(failed, failDest, batchId)
@@ -133,10 +143,9 @@ final class FrizzleStream(
       dests.foreach { dest =>
         val out0 = sendable.filter(col("dest") === dest).select("id", "data", "ts")
         val out = sendTransforms.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
-        val n = out.count()
         sink.write(out, dest, batchId)
-        stats.send.addAndGet(n)
       }
+      stats.send.addAndGet(nSend)
 
       // A6 ack: everything in a committed epoch that wasn't failed.
       stats.ack.addAndGet(total - nFailed)
