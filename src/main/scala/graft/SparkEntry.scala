@@ -17,7 +17,7 @@ object SparkEntry {
   val inventory: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Windows.all ++ SetOps.all ++
       Scalars.all ++ TimeWindows.all ++ TextOps.all ++ Similarity.all ++
-      Dedup.all ++ Multimodal.all ++ BusE2E.all
+      Dedup.all ++ Multimodal.all ++ BusE2E.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

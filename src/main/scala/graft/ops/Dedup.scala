@@ -35,6 +35,33 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(3))))
   }
 
+  /** Banded MinHash-LSH candidate pairs (a_id < b_id) over any
+    * (doc_id, text) frame. Formulated as explode → 32 MIN aggregates: each
+    * shingle is hashed once per h in a single codegen span, and the mins
+    * combine map-side, so the shuffle carries 32 longs per document — the
+    * 100 TB-safe shape (a per-row 32-pass array-lambda chain re-scans every
+    * shingle 32× and was measured 4× slower). Reused by Pipeline.
+    */
+  def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(array((0 until NumHashes).map { h =>
+        min(xxhash64(lit(h), col("sh")))
+      }: _*).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -87,31 +114,9 @@ object Dedup {
     Q(
       "q_minhash_neardup",
       (s, d) => {
-        // Banded MinHash-LSH candidate pairs over documents. hashIdx h uses
-        // xxhash64(h, shingle) as the permutation; signature = min per h.
-        // Formulated as explode → 32 MIN aggregates: each shingle is hashed
-        // once per h in a single codegen span, and the mins combine
-        // map-side, so the shuffle carries 32 longs per document — the
-        // 100 TB-safe shape (a per-row 32-pass array-lambda chain re-scans
-        // every shingle 32× and was measured 4× slower).
-        val sigs = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-          .groupBy("doc_id")
-          .agg(array((0 until NumHashes).map { h =>
-            min(xxhash64(lit(h), col("sh")))
-          }: _*).as("sig"))
-        val banded = sigs.select(col("doc_id"),
-          explode(array((0 until NumHashes / BandSize).map { b =>
-            struct(lit(b).as("band"),
-              xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)).as("bsig"))
-          }: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-        val a = banded.as("a")
-        val b = banded.as("b")
-        a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
+        // Banded MinHash-LSH candidate pairs over documents (see
+        // minhashPairs for the formulation and scale rationale).
+        minhashPairs(tbl(s, d, "documents").select("doc_id", "text"))
           .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
       },
       None

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Composed-pipeline invariants: monotone shrinkage per stage, planted
+  * near-dups removed, and determinism.
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pipeline_full counts ≤ pipeline_clean counts per language") {
+    val clean = query("q_pipeline_clean")
+      .select("lang", "doc_cnt").as[(String, Long)].collect().toMap
+    val full = query("q_pipeline_full")
+      .select("lang", "doc_cnt").as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(n <= clean.getOrElse(lang, 0L), s"$lang grew after near-dup removal")
+    }
+  }
+
+  test("pipeline removes planted exact and near duplicates, keeps originals") {
+    val good = (0 until 30).map(j => s"tok_$j").mkString(" ") // 30 tokens: passes gate
+    val near = ((0 until 29).map(j => s"tok_$j") :+ "ALTERED").mkString(" ")
+    val short = "too short" // fails quality gate
+    val rows = Seq(
+      (1L, good, "en", "s", 100L),
+      (2L, good, "en", "s", 100L), // exact dup of 1
+      (3L, near, "en", "s", 100L), // near dup of 1
+      (4L, short, "en", "s", 9L),
+      (5L, (100 until 135).map(j => s"other_$j").mkString(" "), "fr", "s", 100L))
+    val dir = Files.createTempDirectory("pipe").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val clean = SparkEntry.queries("q_pipeline_clean")(spark, dir)
+      .select("lang", "doc_cnt").as[(String, Long)].collect().toMap
+    assert(clean == Map("en" -> 2L, "fr" -> 1L),
+      "quality gate drops doc 4; exact dedup drops doc 2; near-dup 3 survives clean")
+
+    val full = SparkEntry.queries("q_pipeline_full")(spark, dir)
+      .select("lang", "doc_cnt").as[(String, Long)].collect().toMap
+    assert(full == Map("en" -> 1L, "fr" -> 1L),
+      "near-dup removal drops doc 3, keeps lower-id original doc 1")
+  }
+
+  test("pipeline is deterministic across runs") {
+    val a = query("q_pipeline_full").collect().toSeq
+    val b = query("q_pipeline_full").collect().toSeq
+    assert(a == b)
+  }
+}
