@@ -50,6 +50,11 @@ object Windows {
         tbl(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             asDec(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+          // checkpoint before the global sort: the range partitioner's
+          // sampling pass otherwise re-executes the whole window subplan
+          // (measured 2× the query cost). Lazy local checkpoint = one
+          // compute, sampled and sorted from cache.
+          .localCheckpoint(false)
           .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
