@@ -200,22 +200,36 @@ object Relational {
     Q(
       "q_asof_join",
       (s, d) => {
-        // As-of: each event joins the latest order of the same user at or
-        // before the event timestamp. Declarative form: left join on
-        // (user, o_orderdate <= ts) then keep rank-1 per event. Both sides
-        // hash-partition on the user key; the per-event window is local to
-        // the partition. (At extreme per-user fan-out, the scale path is a
-        // sorted-bucket merge — same semantics.)
-        val e = tbl(s, d, "events").select("event_id", "ts", "user_id")
-        val o = tbl(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-        val w = Window
-          .partitionBy("event_id")
-          .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
-        e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("event_id"), col("user_id"),
-            col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+        // As-of: each event takes the latest order of the same user at or
+        // before the event timestamp. Implemented as the sorted-merge scale
+        // path: union both sides tagged, one window pass per user carrying
+        // the last-seen order forward (last_value ignoreNulls). Cost is
+        // O((|e|+|o|) log) with state = one order per row — a theta-join +
+        // per-event rank explodes as |events per user| × |orders per user|
+        // and dies on active users at 100 TB.
+        // Tie rules encoded in the sort: at equal time, orders sort before
+        // events (inclusive <=) and higher o_orderkey last (latest-date →
+        // highest-key order wins), matching the oracle's rank-1 pick.
+        val e = tbl(s, d, "events")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("o_orderkey"),
+            lit(null).cast("timestamp").as("o_orderdate"))
+        val o = tbl(s, d, "orders")
+          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(asc_nulls_first("t"), asc_nulls_first("kind"),
+            asc_nulls_first("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("asof_orderkey",
+            last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("asof_orderdate",
+            last(col("o_orderdate"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("asof_orderkey"),
+            col("asof_orderdate"))
           .orderBy(asc_nulls_first("event_id"))
       },
       Some("""SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
