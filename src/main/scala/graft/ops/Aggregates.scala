@@ -114,12 +114,14 @@ object Aggregates {
     Q(
       "q_grouping_sets",
       (s, d) => {
-        tbl(s, d, "customer").createOrReplaceTempView("gs_customer")
-        s.sql("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
-                |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
-                |FROM gs_customer
-                |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-                |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+        // native Dataset.groupingSets (Spark 4) — no temp-view side effect
+        tbl(s, d, "customer")
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey"))),
+            col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt"),
+            asDec(sum(dec(col("c_acctbal")))).as("sum_bal"))
+          .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
       },
       Some("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
