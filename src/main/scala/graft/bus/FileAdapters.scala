@@ -47,6 +47,25 @@ object FileAdapters {
   }
 }
 
+/** Streaming source over a directory of JSON-lines files with the same
+  * (id, data, ts) message schema; `data` arrives base64-encoded in the
+  * `data_b64` field (JSON cannot carry raw bytes). Same checkpointed file
+  * tracking as ParquetDirSource.
+  */
+final class JsonDirSource(dir: String, maxFilesPerTrigger: Int = 10)
+    extends BusSource {
+  import org.apache.spark.sql.types._
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("id", StringType),
+        StructField("data_b64", StringType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      .select(col("id"), unbase64(col("data_b64")).as("data"), col("ts"))
+}
+
 /** No-op sink: accepts and drops everything — the reference's MOCK mode
   * (basic/source.go:82-84, sink.go:29-31; README.md:183), for dry runs and
   * tests that only observe counters.

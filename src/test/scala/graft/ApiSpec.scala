@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.bus._
+import graft.bus.FileAdapters._
+
+/** Public-API edge: typed table views, typed bus config, JSON source. */
+class ApiSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("typed table views decode with full fidelity") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.filter(_.lang == "en").count() > 0)
+    val ev = Tables.events(spark, sfDir).head()
+    assert(ev.ts != null && ev.event_id >= 0)
+    val emb = Tables.embeddings(spark, sfDir).head()
+    assert(emb.embedding.length == 64)
+    assert(Tables.customers(spark, sfDir).count() ==
+      graft.ops.tbl(spark, sfDir, "customer").count())
+    assert(Tables.orders(spark, sfDir).count() ==
+      graft.ops.tbl(spark, sfDir, "orders").count())
+  }
+
+  test("BusConfig.fromEnv maps the reference's documented variables") {
+    val cfg = BusConfig.fromEnv(Map(
+      "BUFFER_SIZE" -> "42", "MOCK" -> "TRUE", "FAIL_DEST" -> "dlq",
+      "FLUSH_TIMEOUT_MS" -> "1234", "CHECKPOINT_DIR" -> "/tmp/x"))
+    assert(cfg == BusConfig(42, "dlq", 1234L, mock = true, Some("/tmp/x")))
+    assert(BusConfig.fromEnv(Map.empty) == BusConfig())
+  }
+
+  test("JSON-lines source feeds the bus (base64 payloads)") {
+    val inDir = Files.createTempDirectory("json_in").toString
+    val b64 = java.util.Base64.getEncoder
+    Seq(
+      s"""{"id":"1","data_b64":"${b64.encodeToString("abc".getBytes)}","ts":"2024-01-01T00:00:00Z"}""",
+      s"""{"id":"2","data_b64":"${b64.encodeToString("DEF".getBytes)}","ts":"2024-01-01T00:00:01Z"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(inDir)
+
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, new JsonDirSource(inDir),
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string").rlike("^[a-z]+$"), "lower"),
+        failed = lit(false)),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("json_ck").toString))
+      .start()
+    bus.awaitIdle()
+    bus.flushAndClose(10000)
+    assert(sink.sent("lower").map(_.dataUtf8) == Seq("abc"))
+    assert(bus.stats.snapshot("rcv") == 2)
+  }
+}
