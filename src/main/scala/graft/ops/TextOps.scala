@@ -157,12 +157,13 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i, lit(4))))
         tbl(s, d, "documents")
           .select(col("doc_id"), xxhash64(col("text")).as("fp_full"),
+            graft.expr.RollingMinHash(col("text"), 16).as("fp_roll"),
             explode(shingles).as("sh"))
-          .groupBy("doc_id", "fp_full")
+          .groupBy("doc_id", "fp_full", "fp_roll")
           .agg(
             min(xxhash64(col("sh"))).as("fp_min"),
             max(xxhash64(col("sh"))).as("fp_max"))
-          .select("doc_id", "fp_min", "fp_max", "fp_full")
+          .select("doc_id", "fp_min", "fp_max", "fp_full", "fp_roll")
           .orderBy(asc_nulls_first("doc_id"))
       },
       None

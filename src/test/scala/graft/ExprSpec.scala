@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.RollingMinHash
+
+/** Native-expression correctness: RollingMinHash vs a naive Scala
+  * reference (hash every substring from scratch), codegen compilation, and
+  * edge cases.
+  */
+class ExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Base = 1000003L
+
+  /** O(n·w) reference: min over full polynomial hash of each window. */
+  private def naive(s: String, w: Int): Long = {
+    val b = s.getBytes("UTF-8")
+    val n = b.length
+    if (n == 0) return 0L
+    val ww = math.min(w, math.max(n, 1))
+    def hashOf(off: Int, len: Int): Long = {
+      var h = 0L
+      var i = 0
+      while (i < len) { h = h * Base + (b(off + i) & 0xff); i += 1 }
+      h
+    }
+    if (n < ww) hashOf(0, n)
+    else (0 to n - ww).map(off => hashOf(off, ww)).min
+  }
+
+  test("RollingMinHash equals the naive reference on fixture documents") {
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .select(col("text"), RollingMinHash(col("text"), 16).as("h"))
+      .as[(String, Long)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (text, h) => assert(h == naive(text, 16), text.take(40)) }
+  }
+
+  test("RollingMinHash edge cases: empty, shorter than window, exact window") {
+    val rows = Seq("", "ab", "0123456789abcdef", "xx0123456789abcdefyy")
+      .toDF("t")
+      .select(col("t"), RollingMinHash(col("t"), 16).as("h"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (t, h) => assert(h == naive(t, 16), s"'$t'") }
+    assert(rows("") == 0L)
+  }
+
+  test("RollingMinHash compiles under CODEGEN_ONLY") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val h = Seq("hello rolling world of fingerprints").toDF("t")
+        .select(RollingMinHash(col("t"), 8)).as[Long].head()
+      assert(h == naive("hello rolling world of fingerprints", 8))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("RollingMinHash rejects non-string input with a clear message") {
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x").select(RollingMinHash(col("x"), 8)).collect()
+    }
+    assert(err.getMessage.contains("string"))
+  }
+}
