@@ -58,11 +58,14 @@ object TextOps {
         val nTokens = size(split(col("text"), " ")).cast("long")
         val nSpaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long")
         val stopHits = (size(split(concat(lit(" "), col("text"), lit(" ")), " (the|a|of|and) ")) - 1).cast("long")
+        val punctCnt = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
         tbl(s, d, "documents")
           .select(col("doc_id"),
             nTokens.as("n_tokens"),
             ((length(col("text")).cast("long") - nSpaces).cast("double") / nTokens).as("avg_token_len"),
             (stopHits.cast("double") / nTokens).as("stopword_ratio"),
+            (punctCnt.cast("double") / length(col("text"))).as("punct_ratio"),
             (nTokens >= 20 && nTokens <= 80).as("len_ok"))
           .orderBy(asc_nulls_first("doc_id"))
       },
@@ -72,6 +75,8 @@ object TextOps {
              |    / len(string_split(text, ' ')) AS avg_token_len,
              |  CAST(len(regexp_split_to_array(' ' || text || ' ', ' (the|a|of|and) ')) - 1 AS DOUBLE)
              |    / len(string_split(text, ' ')) AS stopword_ratio,
+             |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             |    / LENGTH(text) AS punct_ratio,
              |  (len(string_split(text, ' ')) BETWEEN 20 AND 80) AS len_ok
              |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     ),
