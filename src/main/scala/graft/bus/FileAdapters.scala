@@ -66,6 +66,22 @@ final class JsonDirSource(dir: String, maxFilesPerTrigger: Int = 10)
       .select(col("id"), unbase64(col("data_b64")).as("data"), col("ts"))
 }
 
+/** Load-generator source over Spark's built-in rate source: `value` becomes
+  * the message id and payload, the generation timestamp becomes `ts`. For
+  * throughput demos and soak tests — no external system needed.
+  */
+final class RateSource(rowsPerSecond: Int) extends BusSource {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("value").cast("string").as("id"),
+        encode(col("value").cast("string"), "UTF-8").as("data"),
+        col("timestamp").as("ts"))
+}
+
 /** No-op sink: accepts and drops everything — the reference's MOCK mode
   * (basic/source.go:82-84, sink.go:29-31; README.md:183), for dry runs and
   * tests that only observe counters.

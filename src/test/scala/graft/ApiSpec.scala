@@ -34,6 +34,21 @@ class ApiSpec extends SparkSpec {
     assert(BusConfig.fromEnv(Map.empty) == BusConfig())
   }
 
+  test("rate source generates load through the bus") {
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, new RateSource(rowsPerSecond = 100),
+      FrizzleStream.exprProcessor(dest = lit("load"), failed = lit(false)),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("rate_bus_ck").toString))
+      .start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (bus.stats.rcv.get == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    bus.flushAndClose(10000)
+    assert(bus.stats.rcv.get > 0, "rate source must generate messages")
+    assert(sink.sent("load").nonEmpty)
+  }
+
   test("JSON-lines source feeds the bus (base64 payloads)") {
     val inDir = Files.createTempDirectory("json_in").toString
     val b64 = java.util.Base64.getEncoder
