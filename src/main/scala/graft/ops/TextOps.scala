@@ -146,6 +146,29 @@ object TextOps {
              |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Bigram (2-token shingle) frequency over the corpus — the n-gram
+      // analysis primitive. Same generator→agg shape as q_explode_tokens;
+      // shingle construction is a per-row transform, counting is a
+      // map-side-combined aggregate.
+      "q_top_bigrams",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val bigrams = transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))
+        tbl(s, d, "documents")
+          .select(explode(bigrams).as("bg"))
+          .groupBy("bg")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc_nulls_last("cnt"), asc_nulls_first("bg"))
+          .limit(30)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+             |b AS (SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bg FROM t)
+             |SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg
+             |ORDER BY cnt DESC NULLS LAST, bg ASC NULLS FIRST LIMIT 30""".stripMargin)
+    ),
+    Q(
       // Winnowing-style document fingerprint: min/max 64-bit hash over
       // 4-token shingles. Hash is engine-specific (xxhash64) → no SQL
       // oracle; invariance properties are asserted in ScalaTest.

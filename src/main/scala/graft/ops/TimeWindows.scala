@@ -61,6 +61,26 @@ object TimeWindows {
       None
     ),
     Q(
+      // Statistical moments per event_type: stddev/variance/skewness/
+      // kurtosis plus a cross-column correlation. All single-pass
+      // partial-aggregatable sketches (sum of powers) — the 100 TB shape.
+      // Float accumulation order is engine-specific → ScalaTest oracle
+      // against driver-side reference math (graft.TimeWindowSpec).
+      "q_stats_moments",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            stddev_samp(col("value")).as("sd"),
+            var_samp(col("value")).as("vr"),
+            skewness(col("value")).as("skew"),
+            kurtosis(col("value")).as("kurt"),
+            corr(col("value"), col("user_id").cast("double")).as("corr_uv"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      None
+    ),
+    Q(
       // HLL++ sketch distinct per event_type; ScalaTest asserts ±5% of
       // exact. No oracle (HLL implementations differ across engines).
       "q_approx_distinct",

@@ -61,6 +61,38 @@ class TimeWindowSpec extends SparkSpec {
     }
   }
 
+  test("q_stats_moments matches driver-side reference math within 1e-9") {
+    val got = query("q_stats_moments")
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val data = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("event_type"), col("value"), col("user_id").cast("double"))
+      .as[(String, Double, Double)].collect()
+      .groupBy(_._1)
+    data.foreach { case (et, rows) =>
+      val vs = rows.map(_._2)
+      val us = rows.map(_._3)
+      val n = vs.length.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(v => math.pow(v - mean, 2)).sum
+      val m3 = vs.map(v => math.pow(v - mean, 3)).sum
+      val m4 = vs.map(v => math.pow(v - mean, 4)).sum
+      val varS = m2 / (n - 1)
+      val sd = math.sqrt(varS)
+      val skew = math.sqrt(n) * m3 / math.pow(m2, 1.5)
+      val kurt = n * m4 / (m2 * m2) - 3.0
+      val mu = us.sum / n
+      val cov = vs.zip(us).map { case (v, u) => (v - mean) * (u - mu) }.sum / (n - 1)
+      val corrRef = cov / (sd * math.sqrt(us.map(u => math.pow(u - mu, 2)).sum / (n - 1)))
+      val (gsd, gvr, gskew, gkurt, gcorr) = got(et)
+      assert(math.abs(gsd - sd) < 1e-9, s"$et sd")
+      assert(math.abs(gvr - varS) < 1e-9, s"$et var")
+      assert(math.abs(gskew - skew) < 1e-6, s"$et skew")
+      assert(math.abs(gkurt - kurt) < 1e-6, s"$et kurt")
+      assert(math.abs(gcorr - corrRef) < 1e-9, s"$et corr")
+    }
+  }
+
   test("q_tumbling_window counts sum to total events") {
     val total = query("q_tumbling_window").agg(sum("cnt")).as[Long].head()
     val n = graft.ops.tbl(spark, sfDir, "events").count()
