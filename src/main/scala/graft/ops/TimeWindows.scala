@@ -61,6 +61,24 @@ object TimeWindows {
       None
     ),
     Q(
+      // Quantiles per event_type: approx (GK-sketch — the constant-state
+      // 100 TB path) alongside exact median. Interpolation arithmetic and
+      // sketches are engine-specific → ScalaTest oracle vs a sorted-array
+      // reference (graft.TimeWindowSpec).
+      "q_percentiles",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+            percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
+            median(col("value")).as("med_exact"),
+            count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      None
+    ),
+    Q(
       // Statistical moments per event_type: stddev/variance/skewness/
       // kurtosis plus a cross-column correlation. All single-pass
       // partial-aggregatable sketches (sum of powers) — the 100 TB shape.

@@ -93,6 +93,26 @@ class TimeWindowSpec extends SparkSpec {
     }
   }
 
+  test("q_percentiles: approx within 2% of exact rank, median exact") {
+    val got = query("q_percentiles")
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val data = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    data.foreach { case (et, vs) =>
+      val (p50a, p95a, med) = got(et)
+      // exact interpolated median reference
+      val n = vs.length
+      val exactMed = if (n % 2 == 1) vs(n / 2) else (vs(n / 2 - 1) + vs(n / 2)) / 2.0
+      assert(math.abs(med - exactMed) < 1e-9, s"$et median")
+      // approx values must land within ±2% of the target rank
+      def rankOf(x: Double): Double = vs.count(_ <= x).toDouble / n
+      assert(math.abs(rankOf(p50a) - 0.5) <= 0.02, s"$et p50 rank ${rankOf(p50a)}")
+      assert(math.abs(rankOf(p95a) - 0.95) <= 0.02, s"$et p95 rank ${rankOf(p95a)}")
+    }
+  }
+
   test("q_tumbling_window counts sum to total events") {
     val total = query("q_tumbling_window").agg(sum("cnt")).as[Long].head()
     val n = graft.ops.tbl(spark, sfDir, "events").count()
