@@ -84,6 +84,23 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("saltedSum equals direct groupBy for arbitrary data and salt counts") {
+    val rowsGen = Gen.listOfN(80, Gen.zip(Gen.choose(1L, 6L), Gen.choose(-100, 100)))
+    val saltsGen = Gen.choose(2, 12)
+    check(Prop.forAll(rowsGen, saltsGen) { (rows, nSalts) =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, v.toDouble, i.toLong) }
+          .toDF("k", "v", "rid")
+        val direct = df.groupBy("k").agg(sum("v"), count(lit(1)))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+        val salted = graft.ops.Scale.saltedSum(df, "k", "v", nSalts, Seq("k", "rid"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+        salted == direct
+      }
+    }, n = 10)
+  }
+
   test("UTF-8 payload round-trips through Msg bytes for any string") {
     check(Prop.forAll { (s: String) =>
       Msg.utf8("id", s).dataUtf8 == new String(
