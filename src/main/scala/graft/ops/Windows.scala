@@ -42,6 +42,39 @@ object Windows {
              |ORDER BY c_nationkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Distribution/navigation window functions: ntile buckets,
+      // percent_rank/cume_dist (exact small-integer divisions —
+      // bit-identical across engines), first_value and nth_value over a
+      // fully-tiebroken frame.
+      "q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc_nulls_last("c_acctbal"), asc_nulls_first("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first_value(col("c_custkey")).over(wf).as("richest_key"),
+            nth_value(col("c_custkey"), 2).over(wf).as("second_key"))
+          .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  first_value(c_custkey) OVER wf AS richest_key,
+             |  nth_value(c_custkey, 2) OVER wf AS second_key
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST),
+             |  wf AS (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY c_nationkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_window_running",
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
