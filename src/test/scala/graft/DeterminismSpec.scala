@@ -11,7 +11,8 @@ class DeterminismSpec extends SparkSpec {
   private val sample = Seq(
     "q_agg_group", "q_window_rank", "q_dedup_exact", "q_minhash_neardup",
     "q_range_join", "q_left_join", "q_sim_cosine_topk", "q_explode_tokens",
-    "q_dedup_docs_exact", "stream_bus_e2e")
+    "q_dedup_docs_exact", "stream_bus_e2e", "q_window_dist", "q_top_bigrams",
+    "q_pipeline_clean")
 
   sample.foreach { name =>
     test(s"$name is identical under shuffle.partitions 3 and 13") {
