@@ -33,6 +33,13 @@ object FileAdapters {
         .parquet(dir)
   }
 
+  /** Config-driven construction: BUFFER_SIZE → maxFilesPerTrigger (the
+    * reference's admission default of 500 is a per-trigger record budget;
+    * for a file source the per-trigger unit is files).
+    */
+  def parquetSource(dir: String, cfg: BusConfig): ParquetDirSource =
+    new ParquetDirSource(dir, maxFilesPerTrigger = cfg.bufferSize)
+
   /** Sink writing each batch under outDir/dest=<dest>/ as parquet. Files
     * are written once per (batchId, dest) task; downstream readers see a
     * dest-partitioned table — the queryable DLQ/track-fails analog

@@ -65,7 +65,8 @@ final class FrizzleStream(
     receiveTransforms: Seq[MsgTransform] = Nil,
     sendTransforms: Seq[MsgTransform] = Nil,
     checkpointDir: Option[String] = None,
-    triggerIntervalMs: Long = 0L) {
+    triggerIntervalMs: Long = 0L,
+    defaultFlushTimeoutMs: Long = 30000L) {
 
   import spark.implicits._
 
@@ -76,19 +77,29 @@ final class FrizzleStream(
   /** Events seen so far (A11 fan-in: listener events + routing errors). */
   def events: Seq[BusEvent] = eventQueue.asScala.toSeq
 
+  // Listener registration is SparkSession-global; with two buses on one
+  // session (the supported ForwardSink chaining scenario) every listener sees
+  // every query's events. Filter to this bus's query id so stats/events don't
+  // absorb the other bus's traffic. The "started" event is emitted directly
+  // in start() (the started callback can fire before `query` is assigned).
   private val listener = new StreamingQueryListener {
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-      eventQueue.add(BusEvent("info", s"query started ${e.id}"))
+    private def mine(id: java.util.UUID): Boolean = {
+      val q = query
+      q != null && q.id == id
+    }
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       // A13 rate monitor: processed rows/sec from engine progress.
-      stats.lastRowsPerSec = e.progress.processedRowsPerSecond
+      if (mine(e.progress.id)) stats.lastRowsPerSec = e.progress.processedRowsPerSecond
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      e.exception.foreach { ex =>
-        stats.error.incrementAndGet()
-        eventQueue.add(BusEvent("error", ex))
+      if (mine(e.id)) {
+        e.exception.foreach { ex =>
+          stats.error.incrementAndGet()
+          eventQueue.add(BusEvent("error", ex))
+        }
+        eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
       }
-      eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
     }
   }
 
@@ -108,6 +119,7 @@ final class FrizzleStream(
       }
     checkpointDir.foreach(dir => w = w.option("checkpointLocation", dir))
     query = w.start()
+    eventQueue.add(BusEvent("info", s"query started ${query.id}"))
     this
   }
 
@@ -167,7 +179,7 @@ final class FrizzleStream(
     * within the timeout, then close in reference order (sink → source →
     * failSink; /root/reference/frizzle.go:155-209).
     */
-  def flushAndClose(timeoutMs: Long = 30000L): Unit = {
+  def flushAndClose(timeoutMs: Long = defaultFlushTimeoutMs): Unit = {
     source.stop()
     val q = query
     if (q != null) {
@@ -185,7 +197,7 @@ final class FrizzleStream(
   }
 
   /** A17 signal-driven shutdown: drain gracefully on JVM exit. */
-  def handleShutdown(timeoutMs: Long = 30000L): FrizzleStream = {
+  def handleShutdown(timeoutMs: Long = defaultFlushTimeoutMs): FrizzleStream = {
     sys.addShutdownHook(flushAndClose(timeoutMs))
     this
   }
@@ -203,6 +215,36 @@ object FrizzleStream {
   def exprProcessor(dest: org.apache.spark.sql.Column,
       failed: org.apache.spark.sql.Column): DataFrame => DataFrame =
     df => df.withColumn("dest", dest).withColumn("failed", failed)
+
+  /** Build a bus from [[BusConfig]] — the reference's env surface wired to
+    * real behavior (README.md:175-183): MOCK=true swaps both sinks for
+    * [[NoopSink]] (A19, basic/source.go:82-84), FAIL_DEST names the
+    * dead-letter destination, CHECKPOINT_DIR enables durable offset commit,
+    * FLUSH_TIMEOUT_MS becomes the default graceful-drain budget. BUFFER_SIZE
+    * is the admission knob consumed by the source adapters
+    * ([[FileAdapters.parquetSource]] / [[KafkaAdapters]]), since admission is
+    * a property of the source, not the bus.
+    */
+  def fromConfig(
+      spark: SparkSession,
+      source: BusSource,
+      process: DataFrame => DataFrame,
+      sink: BusSink,
+      cfg: BusConfig,
+      failSink: Option[BusSink] = None,
+      receiveTransforms: Seq[MsgTransform] = Nil,
+      sendTransforms: Seq[MsgTransform] = Nil,
+      triggerIntervalMs: Long = 0L): FrizzleStream =
+    new FrizzleStream(
+      spark, source, process,
+      sink = if (cfg.mock) new NoopSink else sink,
+      failSink = if (cfg.mock) failSink.map(_ => new NoopSink) else failSink,
+      failDest = cfg.failDest,
+      receiveTransforms = receiveTransforms,
+      sendTransforms = sendTransforms,
+      checkpointDir = cfg.checkpointDir,
+      triggerIntervalMs = triggerIntervalMs,
+      defaultFlushTimeoutMs = cfg.flushTimeoutMs)
 }
 
 /** A18 bus chaining: a sink that feeds another bus's in-memory source, so

@@ -67,10 +67,21 @@ final class MemorySink extends BusSink {
   private val seenBatches = ConcurrentHashMap.newKeySet[(Long, String)]()
 
   def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
-    if (!seenBatches.add((batchId, dest))) return
-    val rows = batch.collect()
-    byDest.computeIfAbsent(dest, _ => ArrayBuffer.empty[Msg])
-      .synchronized { byDest.get(dest) ++= rows }
+    // Mark (batchId, dest) seen only once the append succeeds: if collect or
+    // append throws, the key is released so the epoch's replay is re-accepted
+    // rather than silently dropped (exactly-once = dedup of *successful*
+    // deliveries).
+    val key = (batchId, dest)
+    if (!seenBatches.add(key)) return
+    try {
+      val rows = batch.collect()
+      byDest.computeIfAbsent(dest, _ => ArrayBuffer.empty[Msg])
+        .synchronized { byDest.get(dest) ++= rows }
+    } catch {
+      case e: Throwable =>
+        seenBatches.remove(key)
+        throw e
+    }
   }
 
   def sent(dest: String): Seq[Msg] =

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * calls — which is what the similarity hot path wants when scoring 10^8+
   * candidate pairs.
   *
-  * Accumulation is double-precision in array order, bit-identical to the
-  * HOF version (asserted in SimilaritySpec). Null array elements count as
-  * 0. Mismatched lengths dot the common prefix.
+  * Accumulation is double-precision in array order — on equal-length,
+  * null-free arrays (every fixture embedding) the result is bit-identical
+  * to the HOF version (asserted in SimilaritySpec). Degenerate inputs
+  * diverge by design: null elements propagate to a null result through
+  * zip_with/aggregate in the HOF form, while this expression skips them
+  * (counts as 0); mismatched lengths null out the HOF form but dot the
+  * common prefix here.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {

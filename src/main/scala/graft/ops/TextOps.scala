@@ -152,10 +152,15 @@ object TextOps {
       // map-side-combined aggregate.
       "q_top_bigrams",
       (s, d) => {
+        // Docs with <2 tokens yield no bigrams: unguarded sequence(1, 0)
+        // produces a DESCENDING [1,0] and slice(toks, 0, 2) throws (array
+        // indices are 1-based). `when` gates to null, which explode drops —
+        // matching the oracle's empty range(1, len(l)).
         val toks = split(col("text"), " ")
-        val bigrams = transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2))))
+        val bigrams = when(size(toks) >= 2,
+          transform(
+            sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
         tbl(s, d, "documents")
           .select(explode(bigrams).as("bg"))
           .groupBy("bg")

@@ -135,4 +135,54 @@ class BusSpec extends SparkSpec {
     sink.write(ds, "t", 7L) // replay of the same epoch
     assert(sink.sent("t").size == 1)
   }
+
+  test("memory sink re-accepts the replay after a failed write") {
+    import spark.implicits._
+    val sink = new MemorySink
+    val good = Seq(Msg.utf8("1", "a")).toDS()
+    // a batch whose evaluation throws: the epoch must NOT be marked seen
+    val bad = good.filter((_: Msg) => sys.error("boom"))
+    intercept[Exception](sink.write(bad, "t", 3L))
+    sink.write(good, "t", 3L) // epoch replay after failure must land
+    assert(sink.sent("t").map(_.dataUtf8) == Seq("a"))
+    sink.write(good, "t", 3L) // …and further replays still dedup
+    assert(sink.sent("t").size == 1)
+  }
+
+  test("listener events and stats are isolated per bus (two buses, one session)") {
+    val (src1, _, _, bus1) = newBus()
+    val (src2, _, _, bus2) = newBus()
+    bus1.start(); bus2.start()
+    src1.put(Msg.utf8("a", "foo"))
+    src2.put(Msg.utf8("b", "bar"), Msg.utf8("c", "baz"))
+    bus1.awaitIdle(); bus2.awaitIdle()
+    assert(bus1.stats.rcv.get == 1 && bus2.stats.rcv.get == 2)
+    // each bus records exactly its own lifecycle: one started event, no
+    // absorption of the sibling query's events
+    assert(bus1.events.count(_.message.startsWith("query started")) == 1)
+    assert(bus2.events.count(_.message.startsWith("query started")) == 1)
+    bus1.flushAndClose(10000); bus2.flushAndClose(10000)
+    assert(bus1.events.count(_.message.startsWith("query terminated")) <= 1)
+    assert(bus2.events.count(_.message.startsWith("query terminated")) <= 1)
+  }
+
+  test("BusConfig wires mock mode, fail dest and flush timeout (A19)") {
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val dlq = new MemorySink
+    val cfg = BusConfig.fromEnv(Map("MOCK" -> "true", "FAIL_DEST" -> "dead",
+      "FLUSH_TIMEOUT_MS" -> "12000", "BUFFER_SIZE" -> "7"))
+    assert(cfg == BusConfig(bufferSize = 7, failDest = "dead",
+      flushTimeoutMs = 12000L, mock = true, checkpointDir = None))
+    val bus = FrizzleStream.fromConfig(spark, src,
+      FrizzleStream.exprProcessor(dest = lit("out"), failed = lit(false)),
+      sink, cfg, failSink = Some(dlq))
+    bus.start()
+    src.put(Msg.utf8("1", "abc"))
+    bus.awaitIdle()
+    // mock swaps both sinks for no-ops: counters tick, nothing lands
+    assert(bus.stats.send.get == 1 && bus.stats.rcv.get == 1)
+    assert(sink.dests.isEmpty && dlq.dests.isEmpty)
+    bus.flushAndClose()
+  }
 }
