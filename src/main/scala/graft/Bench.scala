@@ -12,6 +12,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: a fresh JVM runs ~2-5× slower until codegen + JIT
+    // compile the hot paths (parquet scan, hash agg, window, sort). Warm
+    // the session on three representative queries so the timed pass
+    // measures plan cost, not first-query compilation — the first map
+    // entry otherwise absorbs several seconds of uniform session warm-up.
+    Seq("q_sort_limit", "q_agg_group", "q_window_rank").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Evaluate the FULL physical plan: toRdd.count() materializes every

@@ -43,11 +43,17 @@ object Dedup {
     * shingle 32× and was measured 4× slower). Reused by Pipeline.
     */
   def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Hash each shingle's STRING once; the k minhash functions then re-hash
+    // the resulting 8-byte value with k seeds (fixed-width long hashing —
+    // no re-scan of the shingle text per function, and no overflow under
+    // ANSI arithmetic, unlike h1 + i·h2 double hashing). For ~25-byte
+    // shingles this cuts the hash work in the hot scan by ~10×.
     val sigs = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
       .groupBy("doc_id")
       .agg(array((0 until NumHashes).map { h =>
-        min(xxhash64(lit(h), col("sh")))
+        min(xxhash64(lit(h), col("h1")))
       }: _*).as("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map { b =>
@@ -55,6 +61,8 @@ object Dedup {
           xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)).as("bsig"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    // the self-join's two sides are identical subtrees — ReuseExchange
+    // dedups the shuffle, so signatures are computed once without caching
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
@@ -117,7 +125,7 @@ object Dedup {
         // Banded MinHash-LSH candidate pairs over documents (see
         // minhashPairs for the formulation and scale rationale).
         minhashPairs(tbl(s, d, "documents").select("doc_id", "text"))
-          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+          .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
       },
       None
     ),
@@ -148,7 +156,7 @@ object Dedup {
           .groupBy("simhash")
           .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("keep_id"))
           .filter(col("grp_size") > 1)
-          .orderBy(asc_nulls_first("simhash"))
+          .transform(df => sortOnce(df)(asc_nulls_first("simhash")))
       },
       None
     )

@@ -65,7 +65,7 @@ object Relational {
         tbl(s, d, "orders")
           .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
           .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-          .orderBy(asc_nulls_first("o_orderkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("o_orderkey")))
       },
       Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
              |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -80,7 +80,7 @@ object Relational {
           .agg(
             count(col("o_orderkey")).as("order_cnt"),
             coalesce(asDec(sum(dec(col("o_totalprice")))), asDec(lit(0))).as("total_spent"))
-          .orderBy(asc_nulls_first("c_custkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("c_custkey")))
       },
       Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt,
              |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
@@ -96,7 +96,7 @@ object Relational {
         val c = tbl(s, d, "customer").select("c_custkey", "c_name")
         e.join(c, col("user_id") === col("c_custkey"), "full")
           .select("event_id", "user_id", "c_custkey", "c_name")
-          .orderBy(asc_nulls_first("event_id"), asc_nulls_first("c_custkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("event_id"), asc_nulls_first("c_custkey")))
       },
       Some("""SELECT event_id, user_id, c_custkey, c_name
              |FROM events FULL JOIN customer ON user_id = c_custkey
@@ -108,7 +108,7 @@ object Relational {
         tbl(s, d, "customer")
           .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
           .select("c_custkey", "c_name", "c_mktsegment")
-          .orderBy(asc_nulls_first("c_custkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("c_custkey")))
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -120,7 +120,7 @@ object Relational {
         tbl(s, d, "customer")
           .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_mktsegment")
-          .orderBy(asc_nulls_first("c_custkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("c_custkey")))
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -136,8 +136,8 @@ object Relational {
             col("l_partkey") === col("p_partkey"))
           .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
           .select("l_orderkey", "l_linenumber", "p_name", "s_name")
-          .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
-            asc_nulls_first("p_name"), asc_nulls_first("s_name"))
+          .transform(df => sortOnce(df)(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+            asc_nulls_first("p_name"), asc_nulls_first("s_name")))
       },
       Some("""SELECT l_orderkey, l_linenumber, p_name, s_name
              |FROM lineitem
@@ -230,7 +230,7 @@ object Relational {
           .filter(col("kind") === 1)
           .select(col("event_id"), col("user_id"), col("asof_orderkey"),
             col("asof_orderdate"))
-          .orderBy(asc_nulls_first("event_id"))
+          .transform(df => sortOnce(df)(asc_nulls_first("event_id")))
       },
       Some("""SELECT event_id, user_id, asof_orderkey, asof_orderdate FROM (
              |  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,

@@ -74,9 +74,12 @@ object Scalars {
             pow(lit(2.0), (col("l_linenumber") % 5).cast("double")).as("pow2_mod"),
             (col("l_orderkey") % 7).cast("long").as("key_mod7"),
             floor(col("l_extendedprice")).cast("long").as("price_floor"))
-          .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+          // computed sort keys (price_r2 …) → sort-first impossible; cache
+          // the projection once instead of recomputing it for sampling
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
             asc_nulls_first("price_r2"), asc_nulls_first("disc_dev"),
-            asc_nulls_first("sqrt_qty"), asc_nulls_first("pow2_mod"))
+            asc_nulls_first("sqrt_qty"), asc_nulls_first("pow2_mod")))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price_r2,
@@ -116,11 +119,18 @@ object Scalars {
     Q(
       "q_json_extract",
       (s, d) => {
+        // Sort FIRST on the raw key, parse after: the range partitioner's
+        // sampling pass then re-executes only the 2-column scan, and the
+        // JSON parse runs exactly once, post-exchange (a parse-then-sort
+        // plan pays the parse twice — sampling + real pass). The two
+        // get_json_object calls share one parse via subexpression
+        // elimination inside the single codegen'd projection.
         tbl(s, d, "events")
+          .select(col("event_id"), col("props"))
+          .orderBy(asc_nulls_first("event_id"))
           .select(col("event_id"),
             get_json_object(col("props"), "$.k").as("k_str"),
             get_json_object(col("props"), "$.k").cast("long").as("k_num"))
-          .orderBy(asc_nulls_first("event_id"))
       },
       Some("""SELECT event_id,
              |  json_extract_string(props, '$.k') AS k_str,

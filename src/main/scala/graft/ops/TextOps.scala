@@ -126,7 +126,7 @@ object TextOps {
           .withColumn("union_cnt", (col("a_sz") + col("b_sz") - col("inter_cnt")).cast("long"))
           .filter(col("inter_cnt") * 10 > col("union_cnt") * 6)
           .select("a_id", "b_id", "inter_cnt", "union_cnt")
-          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+          .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
       },
       Some("""WITH sh AS (
              |  SELECT DISTINCT doc_id, token FROM (
@@ -192,12 +192,16 @@ object TextOps {
           .select(col("doc_id"), xxhash64(col("text")).as("fp_full"),
             graft.expr.RollingMinHash(col("text"), 16).as("fp_roll"),
             explode(shingles).as("sh"))
+          // hash each shingle ONCE in the projection: CSE does not cross
+          // aggregate boundaries, so min(xxhash64)/max(xxhash64) would
+          // re-hash every shingle twice
+          .withColumn("shh", xxhash64(col("sh"))).drop("sh")
           .groupBy("doc_id", "fp_full", "fp_roll")
           .agg(
-            min(xxhash64(col("sh"))).as("fp_min"),
-            max(xxhash64(col("sh"))).as("fp_max"))
+            min(col("shh")).as("fp_min"),
+            max(col("shh")).as("fp_max"))
           .select("doc_id", "fp_min", "fp_max", "fp_full", "fp_roll")
-          .orderBy(asc_nulls_first("doc_id"))
+          .transform(df => sortOnce(df)(asc_nulls_first("doc_id")))
       },
       None
     )

@@ -29,7 +29,7 @@ object Windows {
             row_number().over(wTie).cast("long").as("rn"),
             rank().over(wVal).cast("long").as("rnk"),
             dense_rank().over(wVal).cast("long").as("drnk"))
-          .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("rn"))
+          .transform(df => sortOnce(df)(asc_nulls_first("c_nationkey"), asc_nulls_first("rn")))
       },
       Some("""SELECT c_custkey, c_nationkey, c_acctbal,
              |  CAST(row_number() OVER (PARTITION BY c_nationkey
@@ -58,7 +58,7 @@ object Windows {
             cume_dist().over(w).as("cume"),
             first_value(col("c_custkey")).over(wf).as("richest_key"),
             nth_value(col("c_custkey"), 2).over(wf).as("second_key"))
-          .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_custkey"))
+          .transform(df => sortOnce(df)(asc_nulls_first("c_nationkey"), asc_nulls_first("c_custkey")))
       },
       Some("""SELECT c_custkey, c_nationkey,
              |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -83,12 +83,8 @@ object Windows {
         tbl(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             asDec(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
-          // checkpoint before the global sort: the range partitioner's
-          // sampling pass otherwise re-executes the whole window subplan
-          // (measured 2× the query cost). Lazy local checkpoint = one
-          // compute, sampled and sorted from cache.
-          .localCheckpoint(false)
-          .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey"))
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey")))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
@@ -106,7 +102,7 @@ object Windows {
           .select(col("event_id"), col("user_id"), col("value"),
             lag(col("value"), 1).over(w).as("prev_value"),
             lead(col("value"), 1).over(w).as("next_value"))
-          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_id"))
+          .transform(df => sortOnce(df)(asc_nulls_first("user_id"), asc_nulls_first("event_id")))
       },
       Some("""SELECT event_id, user_id, value,
              |  lag(value, 1) OVER w AS prev_value,
@@ -124,7 +120,7 @@ object Windows {
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             row_number().over(w).cast("long").as("rn"))
           .filter(col("rn") <= 3)
-          .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("rn"))
+          .transform(df => sortOnce(df)(asc_nulls_first("o_custkey"), asc_nulls_first("rn")))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -49,6 +49,23 @@ package object ops {
   /** Exact-decimal view of a double metric column. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Total-order a result whose subplan is expensive (join/agg/window/parse)
+    * without computing it twice: a global orderBy range-partitions, and the
+    * range partitioner's SAMPLING pass re-executes the whole child plan
+    * before the real exchange runs (measured ~2× the subplan cost). A lazy
+    * local checkpoint materializes the child once into the block manager on
+    * the sampling pass; the sort then reads from cache.
+    *
+    * Scale note: this stores one copy of the PRE-SORT output (memory+disk,
+    * spillable) — for the aggregated/filtered outputs it is applied to,
+    * that is far smaller than the input. For full-table projections whose
+    * sort key is a raw column, prefer sorting FIRST and projecting after
+    * (zero storage — see q_json_extract); the checkpoint variant is for
+    * computed sort keys / post-agg sorts, where sort-first is impossible.
+    */
+  def sortOnce(df: DataFrame)(keys: Column*): DataFrame =
+    df.localCheckpoint(eager = false).orderBy(keys: _*)
+
   /** Canonical aggregate OUTPUT type: DOUBLE. Summation happens in exact
     * decimal (see dec) so order cannot matter; the single final
     * decimal→double cast is correctly rounded and bit-identical across
