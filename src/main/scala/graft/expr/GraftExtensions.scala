@@ -28,11 +28,25 @@ object GraftExtensions {
     VectorDot(children.head, children(1))
   }
 
+  private def rollingMinHashBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "rolling_min_hash takes exactly 2 arguments: (text, window)")
+    val window = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"rolling_min_hash window must be an integer literal, got $other")
+    }
+    RollingMinHash(children.head, window)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      vectorDotBuilder))
+      vectorDotBuilder),
+    (FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      rollingMinHashBuilder))
 
   /** Register the functions on a live session's registry. */
   def register(spark: SparkSession): Unit =

@@ -128,6 +128,67 @@ object Aggregates {
              |FROM customer
              |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
              |ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Ordered string aggregation. collect_set is unordered (and
+      // collect_list nondeterministic) — array_sort before joining makes
+      // the concatenation deterministic, matching the oracle's
+      // string_agg(DISTINCT … ORDER BY …).
+      "q_string_agg",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(
+            array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"),
+            count(lit(1)).as("cust_cnt"))
+          .orderBy(asc_nulls_first("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+             |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+             |  COUNT(*) AS cust_cnt
+             |FROM customer GROUP BY c_nationkey
+             |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Conditional (filtered) aggregation: per-group aggregates over
+      // different predicates in one pass — one scan, one shuffle, no
+      // self-joins (the FILTER-clause pattern).
+      "q_conditional_agg",
+      (s, d) => {
+        tbl(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("f_cnt"),
+            count(when(col("o_orderstatus") === "O", 1)).as("o_cnt"),
+            asDec(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))).as("f_total"),
+            count(lit(1)).as("all_cnt"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+             |  COUNT(*) AS all_cnt
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Equi-width histogram: bin id = floor((x − lo) / width) — a single
+      // correctly-rounded IEEE division + floor, bit-identical across
+      // engines; binning + count is one map-side-combined aggregate.
+      "q_histogram",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .select(floor((col("c_acctbal") + 1000.0) / 1000.0).cast("int").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("bin"))
+      },
+      Some("""SELECT CAST(FLOOR((c_acctbal + 1000.0) / 1000.0) AS INT) AS bin,
+             |  COUNT(*) AS cnt
+             |FROM customer GROUP BY 1
+             |ORDER BY bin ASC NULLS FIRST""".stripMargin)
     )
   )
 }

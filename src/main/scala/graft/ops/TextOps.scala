@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis family over the `documents` table (north-star LLM-pipeline
@@ -172,6 +173,65 @@ object TextOps {
              |b AS (SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS bg FROM t)
              |SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg
              |ORDER BY cnt DESC NULLS LAST, bg ASC NULLS FIRST LIMIT 30""".stripMargin)
+    ),
+    Q(
+      // Regex-class tokenization (the BPE-ish tokenizer tier above plain
+      // whitespace split): extract alpha runs directly — generator + one
+      // map-side-combined count, same scale shape as q_explode_tokens.
+      "q_regex_tokenize",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc_nulls_last("cnt"), asc_nulls_first("tok"))
+          .limit(25)
+      },
+      Some("""SELECT tok, COUNT(*) AS cnt
+             |FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
+             |GROUP BY tok
+             |ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST
+             |LIMIT 25""".stripMargin)
+    ),
+    Q(
+      // Corpus TF-IDF (raw variant: tf · N / df — exact integer numerator,
+      // ONE correctly-rounded IEEE division, so it is oracle-hashable;
+      // a log-idf would diverge in libm's last bits across engines).
+      // Every stage is keyed: tf by (doc, term), df by term, top-3 per doc
+      // by window — no driver-side loop, no unkeyed shuffle; the corpus
+      // size N is a 1-row broadcast.
+      "q_tfidf",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = tbl(s, d, "documents").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc_nulls_last("score"), asc_nulls_first("term"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+          .transform(df => sortOnce(df)(asc_nulls_first("doc_id"), asc_nulls_first("rn")))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf * n AS DOUBLE) / df AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, score, rn FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC NULLS LAST, term ASC NULLS FIRST) AS BIGINT) AS rn
+             |  FROM scored
+             |) WHERE rn <= 3
+             |ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Winnowing-style document fingerprint: min/max 64-bit hash over

@@ -131,6 +131,32 @@ object Windows {
              |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // RANGE frame over event-time: per customer, the rolling 90-day
+      // order total. Value-based frame (RANGE, not ROWS) → deterministic
+      // under orderdate ties without a tiebreak key; ordering key is epoch
+      // seconds so both engines frame over the same integer axis.
+      "q_window_range_frame",
+      (s, d) => {
+        // o_orderdate is TIMESTAMP_NTZ: no direct →BIGINT cast; hop through
+        // TIMESTAMP (identity under the UTC session TZ, matching DuckDB's
+        // epoch() on naive timestamps)
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-90L * 86400L, 0L)
+        tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            asDec(sum(dec(col("o_totalprice"))).over(w)).as("total_90d"))
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("o_custkey"), asc_nulls_first("o_orderkey")))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+             |    ORDER BY epoch(o_orderdate) ASC
+             |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_90d
+             |FROM orders
+             |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_sort_limit",
       (s, d) => {
         tbl(s, d, "lineitem")

@@ -60,6 +60,16 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("rolling_min_hash is callable from SQL after extension registration") {
+    graft.expr.GraftExtensions.register(spark)
+    val h = spark.sql("SELECT rolling_min_hash('hello rolling world', 8) AS h")
+      .as[Long].head()
+    assert(h == naive("hello rolling world", 8))
+    val err = intercept[Exception](
+      spark.sql("SELECT rolling_min_hash('x', 'notint')").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("RollingMinHash rejects non-string input with a clear message") {
     val err = intercept[Exception] {
       Seq(1L).toDF("x").select(RollingMinHash(col("x"), 8)).collect()

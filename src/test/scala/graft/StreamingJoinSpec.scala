@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingJoins
+
+/** Stream-stream interval join and streaming dedup semantics: matches
+  * inside the event-time bound join, re-deliveries within the watermark
+  * horizon are dropped.
+  */
+class StreamingJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  final case class Click(user: Long, click_ts: Timestamp)
+  final case class Buy(buyer: Long, buy_ts: Timestamp, amount: Double)
+
+  test("interval join matches same-key rows within the event-time bound") {
+    val clicks = MemoryStream[Click](spark)
+    val buys = MemoryStream[Buy](spark)
+    val joined = StreamingJoins.intervalJoin(
+      clicks.toDF(), buys.toDF(),
+      leftKey = "user", rightKey = "buyer",
+      leftTs = "click_ts", rightTs = "buy_ts",
+      lateness = "1 minute", before = "0 seconds", after = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Click(1L, ts("2024-01-01 10:00:00")),
+        Click(2L, ts("2024-01-01 10:00:00")))
+      buys.addData(
+        Buy(1L, ts("2024-01-01 10:05:00"), 9.0), // within 10 min → match
+        Buy(2L, ts("2024-01-01 10:20:00"), 7.0), // outside bound → no match
+        Buy(3L, ts("2024-01-01 10:06:00"), 5.0)) // no matching click
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").select($"user", $"amount")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 9.0)),
+        "only the same-key purchase inside [click, click+10min] joins")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops re-delivered keys across batches") {
+    val in = MemoryStream[Click](spark)
+    val out = StreamingJoins.dedupWithinWatermark(
+      in.toDF(), "click_ts", "10 minutes", Seq("user"))
+    val q = out.writeStream.format("memory").queryName("ssdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Click(1L, ts("2024-01-01 10:00:00")),
+        Click(1L, ts("2024-01-01 10:00:30"))) // same-batch re-delivery
+      q.processAllAvailable()
+      in.addData(Click(1L, ts("2024-01-01 10:01:00"))) // cross-batch re-delivery
+      in.addData(Click(2L, ts("2024-01-01 10:02:00"))) // distinct key passes
+      q.processAllAvailable()
+      val users = spark.table("ssdedup").select($"user").as[Long].collect().toSeq
+      assert(users.sorted == Seq(1L, 2L),
+        "each key emits exactly once within the watermark horizon")
+    } finally q.stop()
+  }
+}
