@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call entry point for users of this engine: a SparkSession with the
+  * engine's required/recommended configuration applied and the native SQL
+  * functions registered — the "switch your app to this library" surface.
+  *
+  * Required for correctness on the fixture data:
+  *   - UTC session timezone (cross-engine timestamp determinism);
+  *   - nanosAsLong for parquet timestamp[ns] columns (see graft.ops.tbl).
+  * Recommended at any scale:
+  *   - shuffle partitions sized to the cluster (NOT the 200 default —
+  *     pass ~2-3× total executor cores; AQE coalesces downward at runtime).
+  */
+object Graft {
+
+  def session(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft",
+      ui: Boolean = false): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", ui)
+      .getOrCreate()
+    graft.expr.GraftExtensions.register(spark)
+    spark
+  }
+
+  /** Apply the engine configuration to an EXISTING session (a shared
+    * cluster session the caller does not own): runtime-settable confs +
+    * function registration. The parquet-nanos flag is read at scan
+    * planning, so it applies to subsequent reads.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.expr.GraftExtensions.register(spark)
+    spark
+  }
+}

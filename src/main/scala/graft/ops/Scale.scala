@@ -47,4 +47,14 @@ object Scale {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).cast("long").as("cnt"))
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partCols`. Readers filtering on a partition column prune whole
+    * directories at PLANNING time (`PartitionFilters` in the scan, zero I/O
+    * for excluded partitions) — the storage-layout lever that turns a
+    * 100 TB corpus scan into a per-language/per-day scan. Partition columns
+    * must be bounded-cardinality (lang, date, source — never a key).
+    */
+  def partitionedWrite(df: DataFrame, outDir: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(outDir)
 }

@@ -26,6 +26,16 @@ class ApiSpec extends SparkSpec {
       graft.ops.tbl(spark, sfDir, "orders").count())
   }
 
+  test("Graft.configure wires an existing session for the engine") {
+    Graft.configure(spark)
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    // native SQL functions registered
+    assert(spark.sql("SELECT vector_dot(array(CAST(1.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT))) AS d").as[Double].head() == 2.0)
+    // nanos flag lets the events table read directly
+    assert(spark.read.parquet(s"$sfDir/events.parquet").count() > 0)
+  }
+
   test("BusConfig.fromEnv maps the reference's documented variables") {
     val cfg = BusConfig.fromEnv(Map(
       "BUFFER_SIZE" -> "42", "MOCK" -> "TRUE", "FAIL_DEST" -> "dlq",

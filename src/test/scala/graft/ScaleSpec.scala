@@ -42,6 +42,29 @@ class ScaleSpec extends SparkSpec {
     assert(buckets > 4, s"hot key spread over $buckets salt buckets")
   }
 
+  test("partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("partw").toString
+    Scale.partitionedWrite(
+      graft.ops.tbl(spark, sfDir, "documents"), dir, Seq("lang"))
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang filter must prune at the partition level:\n$scan")
+    // pruning is semantically invisible
+    val expected = graft.ops.tbl(spark, sfDir, "documents")
+      .filter(col("lang") === "en").count()
+    // execute THIS plan instance (a separate .count() builds its own), then
+    // read its scan metrics — inputFiles would lie here, it lists the
+    // relation's unpruned FileIndex
+    val qe = pruned.queryExecution
+    assert(qe.toRdd.count() == expected)
+    val scanExec = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scanExec.metrics("numPartitions").value == 1,
+      s"exactly one lang= directory must be scanned, metrics: ${scanExec.metrics.view.mapValues(_.value).toMap}")
+  }
+
   test("bucketed tables join without an exchange on either side") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
