@@ -189,6 +189,30 @@ object Aggregates {
              |  COUNT(*) AS cnt
              |FROM customer GROUP BY 1
              |ORDER BY bin ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Arg-min/arg-max aggregation (min_by/max_by ↔ arg_min/arg_max):
+      // single-pass, partial-aggregatable — no self-join, no window.
+      // The ordering value (c_custkey) is UNIQUE, so the picked row is
+      // deterministic; an arg-max over a tied column would not be.
+      "q_minmax_by",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            max_by(col("c_name"), col("c_custkey")).as("latest_name"),
+            min_by(col("c_name"), col("c_custkey")).as("earliest_name"),
+            max(col("c_custkey")).as("max_key"),
+            count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  arg_max(c_name, c_custkey) AS latest_name,
+             |  arg_min(c_name, c_custkey) AS earliest_name,
+             |  MAX(c_custkey) AS max_key,
+             |  COUNT(*) AS cnt
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -91,6 +91,48 @@ object SetOps {
              |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
              |  FROM orders)
              |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // UNION with distinct semantics (vs q_union_all): dedup is a
+      // distinct-aggregate over the output key — shuffle bounded by
+      // distinct values, like INTERSECT/EXCEPT.
+      "q_union_distinct",
+      (s, d) => {
+        val e = tbl(s, d, "events")
+        e.filter(col("event_type") === "click").select("user_id")
+          .union(e.filter(col("event_type") === "purchase").select("user_id"))
+          .distinct()
+          .orderBy(asc_nulls_first("user_id"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+             |UNION
+             |SELECT user_id FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Correlated scalar subquery (orders above THEIR CUSTOMER's average),
+      // decorrelated as a per-key window — the scale-correct plan: one
+      // shuffle on the correlation key instead of a re-executed subquery
+      // per row. Average = exact-decimal sum → one IEEE division.
+      "q_corr_subquery",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+        tbl(s, d, "orders")
+          .withColumn("cust_avg",
+            sum(dec(col("o_totalprice"))).over(w).cast("double")
+              / count(lit(1)).over(w))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+          .transform(df => sortOnce(df)(asc_nulls_first("o_orderkey")))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+             |  SELECT o_orderkey, o_custkey, o_totalprice,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+             |           OVER (PARTITION BY o_custkey) AS DOUBLE)
+             |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+             |  FROM orders)
+             |WHERE o_totalprice > cust_avg
+             |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -61,6 +61,48 @@ object TimeWindows {
       None
     ),
     Q(
+      // Gaps-and-islands session COUNT per user, relationally (lag + gap
+      // predicate + conditional count) — the oracle-checkable cross-check
+      // of q_session_window's semantics: a session starts where the gap
+      // from the previous event exceeds 30 minutes. Timestamps compared at
+      // second granularity (ns fixture, SURVEY §7.4.1); epoch seconds are
+      // exact integers on both engines.
+      "q_session_gaps",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(asc_nulls_first("ts_s"), asc_nulls_first("event_id"))
+        tbl(s, d, "events")
+          .withColumn("ts_s", unix_timestamp(date_trunc("second", col("ts"))))
+          .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+          // >= : session_window's window is [ts, ts+gap), so an event at
+          // exactly gap distance opens a NEW session
+          .withColumn("is_start",
+            col("prev_s").isNull || col("ts_s") - col("prev_s") >= 1800)
+          .groupBy("user_id")
+          .agg(
+            count(when(col("is_start"), 1)).as("session_cnt"),
+            count(lit(1)).as("event_cnt"))
+          .orderBy(asc_nulls_first("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (WHERE is_start) AS session_cnt,
+             |  COUNT(*) AS event_cnt
+             |FROM (
+             |  SELECT user_id,
+             |    (prev_s IS NULL OR ts_s - prev_s >= 1800) AS is_start
+             |  FROM (
+             |    SELECT user_id, event_id,
+             |      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+             |      CAST(lag(epoch(date_trunc('second', ts)), 1) OVER (
+             |        PARTITION BY user_id
+             |        ORDER BY epoch(date_trunc('second', ts)) ASC NULLS FIRST,
+             |                 event_id ASC NULLS FIRST) AS BIGINT) AS prev_s
+             |    FROM events))
+             |GROUP BY user_id
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Quantiles per event_type: approx (GK-sketch — the constant-state
       // 100 TB path) alongside exact median. Interpolation arithmetic and
       // sketches are engine-specific → ScalaTest oracle vs a sorted-array

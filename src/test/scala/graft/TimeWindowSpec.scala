@@ -47,6 +47,17 @@ class TimeWindowSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  test("q_session_gaps session counts agree with q_session_window") {
+    val gaps = query("q_session_gaps")
+      .select($"user_id", $"session_cnt")
+      .as[(Long, Long)].collect().toMap
+    val windows = query("q_session_window")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(gaps == windows,
+      "the relational gaps-and-islands count must equal session_window's")
+  }
+
   test("q_approx_distinct within 5% of exact per event_type") {
     val approx = query("q_approx_distinct")
       .select(col("event_type"), col("approx_users")).as[(String, Long)]
