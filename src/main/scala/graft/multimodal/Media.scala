@@ -39,3 +39,12 @@ final case class Frame(
     frame_idx: Int,
     frame_ms: Long,
     frame_bytes: Array[Byte])
+
+/** One fixed-duration chunk of an audio payload with its signal stats. */
+final case class AudioChunk(
+    media_id: Long,
+    chunk_idx: Int,
+    start_ms: Long,
+    end_ms: Long,
+    n_samples: Int,
+    rms: Double)

@@ -45,6 +45,14 @@ object MediaOps {
       else bytes.iterator.map(b => (b & 0xff).toDouble).sum / bytes.length / 255.0
     }
 
+    def decodeSamples(bytes: Array[Byte], from: Int, until: Int): Array[Double] = {
+      // ??? real impl: PCM decode + resample of the byte range. Fake:
+      // centered byte amplitudes in [-1, 1], stable per position.
+      (from until math.min(until, bytes.length)).map { i =>
+        ((bytes(i) & 0xff) - 128) / 128.0
+      }.toArray
+    }
+
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       // ??? real impl: vision/audio encoder forward pass. Fake: bucketed
       // byte histogram, L2-normalized — deterministic and non-degenerate.
@@ -134,6 +142,36 @@ object MediaOps {
       }
   }
 
+  /** Split audio payloads into fixed-duration chunks and compute per-chunk
+    * signal stats (RMS) — the audio-modality batch op (flatMap-shaped like
+    * sampleFrames: bounded fan-out, executor-local decode).
+    */
+  def chunkAudio(media: Dataset[MediaItem], chunkMs: Long): Dataset[AudioChunk] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("media_type").startsWith("audio/"))
+      .mapPartitions { it =>
+        // per-partition: real impl allocates the audio decoder HERE, once.
+        it.flatMap { m =>
+          val dur = if (m.duration_ms > 0) m.duration_ms else math.max(1L, m.content.length.toLong)
+          val nChunks = ((dur + chunkMs - 1) / chunkMs).toInt
+          (0 until nChunks).iterator.map { i =>
+            val startMs = i * chunkMs
+            val endMs = math.min(dur, (i + 1) * chunkMs)
+            // byte range proportional to the time range
+            val from = (m.content.length.toLong * startMs / dur).toInt
+            val until = math.max(from + 1, (m.content.length.toLong * endMs / dur).toInt)
+            val samples = FakeCodec.decodeSamples(m.content, from, until)
+            val rms =
+              if (samples.isEmpty) 0.0
+              else math.sqrt(samples.iterator.map(s => s * s).sum / samples.length)
+            AudioChunk(m.media_id, i, startMs, endMs, samples.length, rms)
+          }
+        }
+      }
+  }
+
   /** Build a MediaItem dataset from the documents fixture (payload = UTF-8
     * bytes), so the multimodal pipeline is exercisable on shipped testdata.
     */
@@ -143,10 +181,13 @@ object MediaOps {
       .select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 5 === 0, lit("video/fake"))
+          .when(col("doc_id") % 5 === 1, lit("audio/fake"))
           .otherwise(concat(lit("image/fake-"), col("lang"))).as("media_type"),
         encode(col("text"), "UTF-8").as("content"),
         lit(-1).as("width"), lit(-1).as("height"),
-        lit(-1L).as("duration_ms"),
+        // timed media carries a (fake) duration; images stay unknown
+        when(col("doc_id") % 5 <= 1, col("n_chars") * 10).otherwise(lit(-1L))
+          .cast("long").as("duration_ms"),
         lit(new Timestamp(0L)).as("captured_at"))
       .as[MediaItem]
   }

@@ -39,6 +39,16 @@ object Multimodal {
       None
     ),
     Q(
+      "q_media_audio",
+      (s, d) => {
+        // audio modality: fixed-duration chunking + per-chunk RMS
+        MediaOps.chunkAudio(MediaOps.mediaFromDocuments(s, d), chunkMs = 500L)
+          .toDF()
+          .orderBy(asc_nulls_first("media_id"), asc_nulls_first("chunk_idx"))
+      },
+      None
+    ),
+    Q(
       "q_media_features_topk",
       (s, d) => {
         // media → fixed-dim embedding → exact cosine top-3 for 5 probes:

@@ -31,18 +31,26 @@ object TimeWindows {
     ),
     Q(
       // 2-day window sliding 1 day per event_type. Each event lands in two
-      // overlapping windows; `window()` expands then group-aggregates.
-      // Oracle omitted per SURVEY (generate_series emulation is fragile);
-      // ScalaTest checks against a hand-rolled expansion.
+      // overlapping windows; `window()` expands then group-aggregates. The
+      // oracle mirrors the expansion explicitly: each event unnests into
+      // its two covering window starts (day(ts) and day(ts) − 1 day).
+      // ScalaTest additionally checks a hand-rolled expansion.
       "q_sliding_window",
       (s, d) => {
         tbl(s, d, "events")
           .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("cnt"))
-          .select(col("w.start").cast("date").as("win_start"), col("event_type"), col("cnt"))
+          .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
           .orderBy(asc_nulls_first("win_start"), asc_nulls_first("event_type"))
       },
-      None
+      Some("""SELECT win_start, event_type, COUNT(*) AS cnt FROM (
+             |  SELECT unnest([
+             |      CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP),
+             |      CAST(date_trunc('day', ts) AS TIMESTAMP)]) AS win_start,
+             |    event_type
+             |  FROM events)
+             |GROUP BY win_start, event_type
+             |ORDER BY win_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Per-user sessions with a 30-minute inactivity gap. ScalaTest checks

@@ -62,6 +62,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("chunkAudio covers the duration, audio-only, stable under repartition") {
+    val chunks = MediaOps.chunkAudio(media, chunkMs = 500L).collect()
+    assert(chunks.nonEmpty)
+    val audioIds = media.filter(col("media_type").startsWith("audio/"))
+      .select("media_id").as[Long].collect().toSet
+    assert(chunks.map(_.media_id).toSet == audioIds)
+    chunks.groupBy(_.media_id).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.chunk_idx)
+      assert(sorted.head.start_ms == 0L)
+      // chunks tile the duration with no gaps
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.end_ms == b.start_ms)
+        case _ => ()
+      }
+      sorted.foreach { c =>
+        assert(c.rms >= 0.0 && c.rms <= 1.0 && c.n_samples > 0)
+      }
+    }
+    val reparted = MediaOps.chunkAudio(media.repartition(7), 500L)
+      .collect().sortBy(c => (c.media_id, c.chunk_idx)).toSeq
+    assert(reparted == chunks.sortBy(c => (c.media_id, c.chunk_idx)).toSeq)
+  }
+
   test("extractFeatures yields unit-norm fixed-dim vectors") {
     val feats = MediaOps.extractFeatures(media, dim = 64).collect()
     assert(feats.nonEmpty)

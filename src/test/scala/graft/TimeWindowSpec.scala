@@ -11,7 +11,8 @@ class TimeWindowSpec extends SparkSpec {
 
   test("q_sliding_window matches hand-rolled 2-day/1-day expansion") {
     val got = query("q_sliding_window")
-      .select(col("win_start").cast("date").cast("string"), col("event_type"), col("cnt"))
+      .select(col("win_start").cast("timestamp").cast("date").cast("string"),
+        col("event_type"), col("cnt"))
       .as[(String, String, Long)].collect().toSeq
 
     // hand-rolled: each event belongs to windows starting at
