@@ -48,6 +48,34 @@ object Scale {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).cast("long").as("cnt"))
 
+  /** Deterministic hash-threshold sample: keep rows whose content hash
+    * falls below the rate threshold. Unlike `df.sample` (seed + partition
+    * dependent), the decision is a pure function of row content — replays,
+    * retries, repartitions and cluster layouts all pick the same rows, and
+    * samples NEST: sample(0.1) ⊆ sample(0.3) over the same columns, which
+    * lets a pipeline grow a training subset without reshuffling history.
+    * Rate granularity 1e-6.
+    */
+  def hashSample(df: DataFrame, rate: Double, cols: Seq[String]): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(pmod(xxhash64(cols.map(col): _*), lit(1000000L))
+      < math.round(rate * 1000000L))
+  }
+
+  /** Deterministic stratified sample: up to `n` rows per stratum, picked in
+    * content-hash order (stable and uniform-ish within the stratum, not
+    * data-order-dependent). One keyed window — shuffles once on the stratum.
+    */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], n: Int,
+      hashCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCols.map(col): _*)
+      .orderBy(xxhash64(hashCols.map(col): _*) +: hashCols.map(col): _*)
+    df.withColumn("__srn", row_number().over(w))
+      .filter(col("__srn") <= n)
+      .drop("__srn")
+  }
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partCols`. Readers filtering on a partition column prune whole
     * directories at PLANNING time (`PartitionFilters` in the scan, zero I/O

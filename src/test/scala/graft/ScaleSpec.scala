@@ -42,6 +42,41 @@ class ScaleSpec extends SparkSpec {
     assert(buckets > 4, s"hot key spread over $buckets salt buckets")
   }
 
+  test("hashSample: deterministic, rate-accurate, and nested") {
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+    val total = docs.count().toDouble
+    val s30 = Scale.hashSample(docs, 0.3, Seq("text"))
+    val rate = s30.count() / total
+    assert(rate > 0.15 && rate < 0.45, s"observed rate $rate for 0.3")
+    // repartitioning must not change the picked set
+    val ids = s30.select("doc_id").as[Long].collect().toSet
+    val idsReparted = Scale.hashSample(docs.repartition(7), 0.3, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == idsReparted)
+    // nesting: the 10% sample is a subset of the 30% sample
+    val s10 = Scale.hashSample(docs, 0.1, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(ids), "threshold samples must nest")
+    // boundary rates
+    assert(Scale.hashSample(docs, 0.0, Seq("text")).count() == 0)
+    assert(Scale.hashSample(docs, 1.0, Seq("text")).count() == total)
+  }
+
+  test("stratifiedSample: per-stratum quota, deterministic picks") {
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+    val s = Scale.stratifiedSample(docs, Seq("lang"), 5, Seq("text", "doc_id"))
+    val perLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.values.foreach(c => assert(c <= 5))
+    // every stratum with >=5 rows is filled to quota
+    val langSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    langSizes.foreach { case (l, n) =>
+      assert(perLang(l) == math.min(n, 5L), s"lang $l quota")
+    }
+    val again = Scale.stratifiedSample(docs.repartition(5), Seq("lang"), 5,
+      Seq("text", "doc_id")).select("doc_id").as[Long].collect().toSet
+    assert(again == s.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     Scale.partitionedWrite(
