@@ -73,6 +73,24 @@ final class JsonDirSource(dir: String, maxFilesPerTrigger: Int = 10)
       .select(col("id"), unbase64(col("data_b64")).as("data"), col("ts"))
 }
 
+/** Streaming source over a directory of headerless CSV files with columns
+  * (id, data_b64, ts) — base64 payloads, like JsonDirSource (CSV cannot
+  * carry raw bytes either). Same checkpointed file tracking.
+  */
+final class CsvDirSource(dir: String, maxFilesPerTrigger: Int = 10)
+    extends BusSource {
+  import org.apache.spark.sql.types._
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("id", StringType),
+        StructField("data_b64", StringType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+      .select(col("id"), unbase64(col("data_b64")).as("data"), col("ts"))
+}
+
 /** Load-generator source over Spark's built-in rate source: `value` becomes
   * the message id and payload, the generation timestamp becomes `ts`. For
   * throughput demos and soak tests — no external system needed.

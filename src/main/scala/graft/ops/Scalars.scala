@@ -176,6 +176,28 @@ object Scalars {
              |LIMIT 40""".stripMargin)
     ),
     Q(
+      // Positional explode (ordinality-preserving generator): token + its
+      // 0-based position per document — the generator variant pipelines
+      // that need token offsets (n-gram windows, positional features) use.
+      "q_posexplode",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+          .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("pos"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l
+             |  FROM documents WHERE doc_id < 20),
+             |u AS (
+             |  SELECT doc_id,
+             |    unnest([{'pos': i - 1, 'tok': l[i]} FOR i IN range(1, len(l) + 1)]) AS s
+             |  FROM t)
+             |SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS token FROM u
+             |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Reference separator transform (append on send / strip on receive,
       // /root/reference/transform.go:28-59) as a column pipeline: both
       // directions emitted so send∘receive=identity is oracle-checkable.

@@ -149,6 +149,74 @@ object TimeWindows {
       None
     ),
     Q(
+      // Exact-arithmetic moments: n, Σx, Σx² accumulate in DECIMAL (order-
+      // independent), then mean/var/stddev derive through a FIXED sequence
+      // of IEEE double ops — deterministic on both engines, unlike the
+      // float-accumulated var_samp/stddev_samp of q_stats_moments (which
+      // stay ScalaTest-checked). The two-pass-free formulation
+      // var = (n·Σx² − Σx²)/(n(n−1)) is the single-pass distributed shape.
+      "q_exact_moments",
+      (s, d) => {
+        val agg = tbl(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("value"))).as("sx_dec"),
+            sum(dec(col("value")) * dec(col("value"))).as("sxx_dec"))
+        val nD = col("n").cast("double")
+        val sx = col("sx_dec").cast("double")
+        val sxx = col("sxx_dec").cast("double")
+        val varExpr = (nD * sxx - sx * sx) / (nD * (nD - 1.0))
+        agg.select(col("event_type"), col("n"),
+            (sx / nD).as("mean"),
+            varExpr.as("var_s"),
+            sqrt(varExpr).as("sd_s"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""SELECT event_type, n, sx / n AS mean,
+             |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_s,
+             |  SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS sd_s
+             |FROM (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+             |  FROM events GROUP BY event_type)
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Time-series gap filling: a generated day spine left-joined to the
+      // daily aggregate, missing days zero-filled. The spine bounds come
+      // from a 1-row aggregate (broadcast), the explode is bounded by the
+      // date range — no driver-side loop.
+      "q_date_spine",
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val bounds = tbl(s, d, "events")
+          .agg(date_trunc("day", min(col("ts"))).as("lo"),
+            date_trunc("day", max(col("ts"))).as("hi"))
+        val spine = bounds
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy(asc_nulls_first("day"))
+      },
+      Some("""WITH bounds AS (
+             |  SELECT date_trunc('day', MIN(ts)) AS lo,
+             |         date_trunc('day', MAX(ts)) AS hi FROM events),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+             |  FROM bounds),
+             |daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1)
+             |SELECT spine.day, COALESCE(daily.cnt, 0) AS cnt
+             |FROM spine LEFT JOIN daily USING (day)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // HLL++ sketch distinct per event_type; ScalaTest asserts ±5% of
       // exact. No oracle (HLL implementations differ across engines).
       "q_approx_distinct",

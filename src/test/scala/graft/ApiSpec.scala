@@ -59,6 +59,28 @@ class ApiSpec extends SparkSpec {
     assert(sink.sent("load").nonEmpty)
   }
 
+  test("CSV source feeds the bus (base64 payloads)") {
+    val inDir = Files.createTempDirectory("csv_in").toString
+    val b64 = java.util.Base64.getEncoder
+    Seq(
+      s""""1","${b64.encodeToString("abc".getBytes)}","2024-01-01T00:00:00Z"""",
+      s""""2","${b64.encodeToString("DEF".getBytes)}","2024-01-01T00:00:01Z"""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(inDir)
+
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, new CsvDirSource(inDir),
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string").rlike("^[a-z]+$"), "lower"),
+        failed = lit(false)),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("csv_ck").toString))
+      .start()
+    bus.awaitIdle()
+    bus.flushAndClose(10000)
+    assert(sink.sent("lower").map(_.dataUtf8) == Seq("abc"))
+    assert(bus.stats.snapshot("rcv") == 2)
+  }
+
   test("JSON-lines source feeds the bus (base64 payloads)") {
     val inDir = Files.createTempDirectory("json_in").toString
     val b64 = java.util.Base64.getEncoder
