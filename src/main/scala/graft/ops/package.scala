@@ -64,7 +64,11 @@ package object ops {
     * computed sort keys / post-agg sorts, where sort-first is impossible.
     */
   def sortOnce(df: DataFrame)(keys: Column*): DataFrame =
-    df.localCheckpoint(eager = false).orderBy(keys: _*)
+    // The checkpoint truncates lineage to `Scan ExistingRDD`, which blinds
+    // plan audits to everything beneath it; PlanAuditSpec sets this
+    // property to audit the full pre-checkpoint plan (semantics identical).
+    if (sys.props.contains("graft.sortOnce.nocheckpoint")) df.orderBy(keys: _*)
+    else df.localCheckpoint(eager = false).orderBy(keys: _*)
 
   /** Canonical aggregate OUTPUT type: DOUBLE. Summation happens in exact
     * decimal (see dec) so order cannot matter; the single final

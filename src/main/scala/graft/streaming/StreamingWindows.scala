@@ -23,8 +23,15 @@ object StreamingWindows {
   /** Per-window count+sum, tumbling windows of `width`. */
   def tumbling(stream: DataFrame, tsCol: String, width: String,
       lateness: String): DataFrame =
+    tumblingOf(stream.withWatermark(tsCol, lateness), tsCol, width)
+
+  /** Tumbling aggregation over an ALREADY-watermarked stream — for
+    * composition below another stateful operator (streaming dedup, a
+    * stream-stream join): Spark forbids redefining the watermark, so the
+    * upstream op owns it and this stage inherits.
+    */
+  def tumblingOf(stream: DataFrame, tsCol: String, width: String): DataFrame =
     stream
-      .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), width).as("w"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),

@@ -7,13 +7,24 @@ package graft
   * silently degrades a join to an unbounded nested loop fails here, not in
   * production.
   */
-class PlanAuditSpec extends SparkSpec {
+class PlanAuditSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // see sortOnce: audit the full pre-checkpoint plan
+  override def beforeAll(): Unit = {
+    sys.props("graft.sortOnce.nocheckpoint") = "1"
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    sys.props.remove("graft.sortOnce.nocheckpoint")
+    super.afterAll()
+  }
 
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * the build side is a bounded broadcast by construction.
     */
   private val boundedBnlj = Set(
-    "q_subquery_scalar", // 1-row aggregated threshold
+    "q_subquery_scalar", "q_tfidf", // 1-row aggregated threshold / corpus size N
     "q_sim_cosine_topk", "q_embed_neardup", "q_sim_cosine_ivf", // fixed probe set
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
@@ -30,5 +41,46 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a BroadcastNestedLoopJoin outside the allowed set")
       }
     }
+  }
+
+  // The SURVEY's scale claims, pinned as plan assertions:
+
+  private def scanMeta(name: String, key: String): String =
+    // sparkPlan, not executedPlan: the AQE wrapper hides its children from
+    // collect() until materialization
+    query(name).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metadata.getOrElse(key, "")).mkString("\n")
+
+  test("q_filter_pred pushes its predicates into the parquet scan") {
+    // scan metadata, not plan.toString — toString truncates PushedFilters
+    val pushed = scanMeta("q_filter_pred", "PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("In(l_returnflag"),
+      s"shipdate/returnflag predicates must reach the scan: $pushed")
+  }
+
+  test("q_scan_project prunes the scan to exactly its output columns") {
+    val readSchema = scanMeta("q_scan_project", "ReadSchema")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_returnflag").forall(readSchema.contains) &&
+      !readSchema.contains("l_discount") && !readSchema.contains("l_comment"),
+      s"scan must read only the projected 5 columns: $readSchema")
+  }
+
+  test("q_broadcast_join broadcasts both dimensions, never shuffles the fact") {
+    val plan = query("q_broadcast_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast-hash-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the fact side must not shuffle for a broadcast-hinted join")
+  }
+
+  test("q_agg_group plans a partial (map-side) aggregate below the shuffle") {
+    val plan = query("q_agg_group").queryExecution.executedPlan.toString
+    // plan prints top-down: the partial aggregate appears AFTER the hash
+    // exchange textually (it executes before it)
+    val belowHashExchange = plan.split("Exchange hashpartitioning").last
+    assert(belowHashExchange.contains("HashAggregate"),
+      s"a partial aggregate must run below the hash exchange:\n$plan")
   }
 }

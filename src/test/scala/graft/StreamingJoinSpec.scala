@@ -45,6 +45,35 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming pipeline: dedup then windowed aggregation") {
+    // the streaming shape of the training-data pipeline: raw feed →
+    // dedup within watermark → tumbling per-window stats, one query
+    val in = MemoryStream[Buy](spark)
+    val deduped = StreamingJoins.dedupWithinWatermark(
+      in.toDF().withColumnRenamed("buy_ts", "ts").withColumnRenamed("amount", "value"),
+      "ts", "20 minutes", Seq("buyer"))
+    // the dedup stage owns the watermark; the window stage inherits it
+    val out = graft.streaming.StreamingWindows.tumblingOf(
+      deduped, "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sspipe")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Buy(1L, ts("2024-01-01 10:01:00"), 5.0),
+        Buy(1L, ts("2024-01-01 10:02:00"), 5.0), // re-delivery: dropped
+        Buy(2L, ts("2024-01-01 10:04:00"), 3.0))
+      q.processAllAvailable()
+      in.addData(Buy(3L, ts("2024-01-01 11:00:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sspipe")
+        .select($"win_start".cast("string"), $"cnt", $"sum_value")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows("2024-01-01 10:00:00") == ((2L, 8.0)),
+        "window must aggregate the DEDUPED stream (2 buyers, 5.0+3.0)")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops re-delivered keys across batches") {
     val in = MemoryStream[Click](spark)
     val out = StreamingJoins.dedupWithinWatermark(
