@@ -40,17 +40,20 @@ object FileAdapters {
   def parquetSource(dir: String, cfg: BusConfig): ParquetDirSource =
     new ParquetDirSource(dir, maxFilesPerTrigger = cfg.bufferSize)
 
-  /** Sink writing each batch under outDir/dest=<dest>/ as parquet. Files
-    * are written once per (batchId, dest) task; downstream readers see a
-    * dest-partitioned table — the queryable DLQ/track-fails analog
+  /** Sink writing each batch under outDir/dest=<dest>/batch_id=<id>/ as
+    * parquet. The (dest, batchId) pair IS the write path and each write
+    * OVERWRITES its own path — an epoch replay rewrites the same directory
+    * instead of appending duplicates, so the sink is idempotent
+    * (exactly-once on top of the at-least-once epoch replay), mirroring
+    * MemorySink's replay dedup. Downstream readers see a dest-partitioned
+    * table — the queryable DLQ/track-fails analog
     * (/root/reference/basic/source.go:47-49).
     */
   final class ParquetDirSink(outDir: String) extends BusSink {
     def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit =
       batch.toDF()
-        .withColumn("dest", lit(dest))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("dest").parquet(outDir)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/dest=$dest/batch_id=$batchId")
   }
 }
 

@@ -48,6 +48,17 @@ class FileAdapterSpec extends SparkSpec {
     assert(bus.stats.snapshot("rcv") == 3 && bus.stats.snapshot("failsink") == 1)
   }
 
+  test("parquet sink replays are idempotent (epoch path rewrite)") {
+    val dir = Files.createTempDirectory("pq_idem").toString + "/out"
+    val sink = new ParquetDirSink(dir)
+    val ds = Seq(Msg.utf8("1", "a")).toDS()
+    sink.write(ds, "t", 5L)
+    sink.write(ds, "t", 5L) // epoch replay overwrites its own path
+    assert(spark.read.parquet(dir).count() == 1)
+    sink.write(ds, "t", 6L) // a new epoch lands alongside
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("restart from checkpoint does not reprocess acked input (epoch Ack)") {
     val inDir = Files.createTempDirectory("ck_in").toString
     val outDir = Files.createTempDirectory("ck_out").toString + "/routed"
