@@ -176,6 +176,34 @@ object Scalars {
              |LIMIT 40""".stripMargin)
     ),
     Q(
+      // Higher-order array functions with deterministic outputs: element
+      // counts and extrema are exact picks (no float accumulation), so
+      // lambda-based filter/transform pipelines hash-match across engines —
+      // unlike aggregate()-style float folds, which stay ScalaTest-checked
+      // (graft.functions vector math).
+      "q_array_hof",
+      (s, d) => {
+        val e = col("embedding")
+        tbl(s, d, "embeddings")
+          .select(col("vec_id"),
+            size(filter(e, x => x > 0f)).cast("long").as("n_pos"),
+            size(filter(e, x => x < 0f)).cast("long").as("n_neg"),
+            array_max(e).as("max_val"),
+            array_min(e).as("min_val"),
+            element_at(transform(e, x => (x > 0.1f).cast("int")), 1)
+              .cast("long").as("first_gt"))
+          .orderBy(asc_nulls_first("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_neg,
+             |  list_max(embedding) AS max_val,
+             |  list_min(embedding) AS min_val,
+             |  CAST(list_transform(embedding,
+             |    x -> CAST(x > CAST(0.1 AS FLOAT) AS INT))[1] AS BIGINT) AS first_gt
+             |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Positional explode (ordinality-preserving generator): token + its
       // 0-based position per document — the generator variant pipelines
       // that need token offsets (n-gram windows, positional features) use.

@@ -37,6 +37,17 @@ object StreamingJoins {
                 |AND $rightTs >= $leftTs - INTERVAL $before
                 |AND $rightTs <= $leftTs + INTERVAL $after""".stripMargin))
 
+  /** Stream-static enrichment join: a streaming feed joined to a bounded
+    * batch dimension (the classic "attach customer attributes to the event
+    * stream"). Stateless — each micro-batch joins against the static side
+    * (broadcast when small), no streaming state at all; the static side is
+    * re-resolved per batch, so slowly-changing dimension files refresh
+    * without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Streaming deduplication by key within the watermark horizon
     * (dropDuplicatesWithinWatermark): keeps the first arrival of each key
     * and drops re-deliveries that arrive within `lateness` of it — the

@@ -74,6 +74,22 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    val in = MemoryStream[Click](spark)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user", "tier")
+    val out = StreamingJoins.enrich(in.toDF(), dim, Seq("user"))
+    val q = out.writeStream.format("memory").queryName("ssenrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Click(1L, ts("2024-01-01 10:00:00")),
+        Click(3L, ts("2024-01-01 10:01:00"))) // no dim row → left join null
+      q.processAllAvailable()
+      val rows = spark.table("ssenrich").select($"user", $"tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops re-delivered keys across batches") {
     val in = MemoryStream[Click](spark)
     val out = StreamingJoins.dedupWithinWatermark(
