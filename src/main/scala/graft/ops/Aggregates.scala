@@ -213,6 +213,29 @@ object Aggregates {
              |  COUNT(*) AS cnt
              |FROM customer GROUP BY c_mktsegment
              |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // The skew-mitigation path under the oracle gate: two-phase salted
+      // aggregation (partial on (key, salt), final on key — Scale.saltedSum)
+      // must equal a direct GROUP BY. Sums run in exact decimal at BOTH
+      // levels, so the two-phase reassociation cannot drift.
+      "q_salted_agg",
+      (s, d) => {
+        val prepared = tbl(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            dec(col("l_quantity")).as("qty_dec"),
+            col("l_orderkey"), col("l_linenumber"))
+        Scale.saltedSum(prepared, "l_returnflag", "qty_dec", nSalts = 8,
+            saltCols = Seq("l_orderkey", "l_linenumber"))
+          .select(col("l_returnflag"),
+            col("sum_qty_dec").cast("double").as("sum_qty"), col("cnt"))
+          .orderBy(asc_nulls_first("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
     )
   )
 }
