@@ -1,0 +1,61 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.ops.{Dedup, Scale}
+
+/** End-to-end training-data curation pipeline, composed from the engine's
+  * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
+  *
+  *   read → quality gate → exact dedup → MinHash-LSH near-dup removal →
+  *   deterministic sample → lang-partitioned parquet write
+  *
+  * Every stage is a narrow filter, keyed window or bucketed join; the
+  * output layout partition-prunes downstream reads. Run:
+  *   sbt "runMain graft.examples.TrainingPipelineExample [sfDir] [outDir]"
+  */
+object TrainingPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      Files.createTempDirectory("corpus_out").toString + "/corpus")
+    val spark = Graft.session("local[4]", shufflePartitions = 4,
+      appName = "training-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = graft.ops.tbl(spark, sfDir, "documents")
+
+    // 1. quality gate: bounded token count (narrow filter, no shuffle)
+    val quality = raw.filter(size(split(col("text"), " ")).between(20, 80))
+
+    // 2. exact dedup: keep the lowest doc_id per identical text (keyed window)
+    val w = Window.partitionBy("text")
+    val exact = quality
+      .withColumn("__min", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__min")).drop("__min")
+
+    // 3. near-dup removal: drop the higher id of each MinHash-LSH pair
+    val drop = Dedup.minhashPairs(exact.select("doc_id", "text"))
+      .select(col("b_id").as("doc_id")).distinct()
+    val neardup = exact.join(drop, Seq("doc_id"), "left_anti")
+
+    // 4. deterministic 50% sample: content-hash threshold (replay-stable)
+    val sampled = Scale.hashSample(neardup, 0.5, Seq("text"))
+
+    // 5. partitioned write: downstream per-lang reads prune directories
+    Scale.partitionedWrite(sampled, outDir, Seq("lang"))
+
+    val counts = Seq(
+      "raw" -> raw.count(), "quality" -> quality.count(),
+      "exact_dedup" -> exact.count(), "neardup_removed" -> neardup.count(),
+      "sampled" -> sampled.count(),
+      "written" -> spark.read.parquet(outDir).count())
+    counts.foreach { case (stage, n) => println(f"$stage%-16s $n%6d docs") }
+    println(s"corpus written to $outDir (partitioned by lang)")
+    spark.stop()
+  }
+}
