@@ -70,6 +70,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Cluster near-dup candidate pairs into groups (connected components)
+    * by iterative min-label propagation: every node starts as its own
+    * label; each round, a node adopts the minimum label in its
+    * neighborhood; converges in O(diameter) rounds. Rounds are whole-graph
+    * joins — distributed, no driver-side graph. Near-dup graphs are
+    * micro-clusters (diameter ~2-3), so the loop is short; the driver only
+    * checks the convergence count, never the data.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false) // reused every iteration
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // min label among self + neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(eager = false) // truncate the iterative lineage
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -126,6 +163,58 @@ object Dedup {
         // minhashPairs for the formulation and scale rationale).
         minhashPairs(tbl(s, d, "documents").select("doc_id", "text"))
           .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
+      },
+      None
+    ),
+    Q(
+      // Edit-distance near-dup tier. |len(a)−len(b)| ≤ k is a NECESSARY
+      // condition for levenshtein ≤ k, and it becomes an EQUI-join via
+      // bucket expansion (bucket width k+1; each left row probes its 3
+      // covering buckets, the right row sits in exactly one — no dup
+      // pairs, no nested loop; the plan audit rejects the naive theta-join
+      // formulation). The O(n·m) DP runs only on length-compatible pairs.
+      "q_edit_distance",
+      (s, d) => {
+        val k = 20L
+        val docs = tbl(s, d, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("len"))
+          .withColumn("bkt", floor(col("len") / (k + 1)).cast("long"))
+        val probes = docs
+          .withColumn("jb", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+        probes.as("a").join(docs.as("b"),
+            col("a.jb") === col("b.bkt") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.len") - col("b.len")) <= k)
+          .withColumn("dist", levenshtein(col("a.text"), col("b.text")).cast("long"))
+          .filter(col("dist") <= k)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
+          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+      },
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+             |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 40) a
+             |JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 40) b
+             |  ON a.doc_id < b.doc_id
+             | AND abs(LENGTH(a.text) - LENGTH(b.text)) <= 20
+             |WHERE levenshtein(a.text, b.text) <= 20
+             |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Near-dup pair clustering: MinHash-LSH candidate pairs → connected
+      // components (a dedup decision needs GROUPS, not pairs — keep one
+      // doc per cluster). Engine-specific minhash input → ScalaTest oracle
+      // (planted clusters, DedupSpec).
+      "q_dedup_clusters",
+      (s, d) => {
+        connectedComponents(minhashPairs(
+            tbl(s, d, "documents").select("doc_id", "text")))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            min(col("doc_id")).as("keep_id"))
+          .filter(col("cluster_size") > 1)
+          .transform(df => sortOnce(df)(asc_nulls_first("cluster_id")))
       },
       None
     ),

@@ -23,6 +23,31 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("connectedComponents groups planted clusters with min labels") {
+    // graph: {1-2, 2-3} one triangle-path cluster, {10-11} a pair,
+    // {20-21, 21-22, 22-23} a chain of 4 — plus no edges for 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a_id", "b_id")
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(cc(_) == 20L),
+      "a 4-chain must converge to one min label")
+    assert(!cc.contains(99L), "isolated nodes are not in the edge set")
+  }
+
+  test("q_dedup_clusters sizes are consistent with pair counts") {
+    // on the fixture: every cluster has >= 2 docs, keep_id is the min
+    val rows = query("q_dedup_clusters")
+      .select("cluster_id", "cluster_size", "keep_id")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (cid, size, keep) =>
+      assert(size >= 2 && keep == cid,
+        "min-label propagation makes cluster_id the minimum member id")
+    }
+  }
+
   test("q_minhash_neardup finds planted near-duplicates") {
     // Build a tiny documents table with planted near-dup pairs: doc 101 is
     // doc 100 with one word changed (J≈0.9 on 3-shingles); doc 103 is an
