@@ -32,6 +32,15 @@ object Graft {
     spark
   }
 
+  /** Register the fixture tables of `dir` as temp views so plain
+    * `spark.sql` works over them (events gets the ns→µs timestamp
+    * normalization from graft.ops.tbl).
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(n => graft.ops.tbl(spark, dir, n).createOrReplaceTempView(n))
+
   /** Apply the engine configuration to an EXISTING session (a shared
     * cluster session the caller does not own): runtime-settable confs +
     * function registration. The parquet-nanos flag is read at scan

@@ -76,6 +76,36 @@ final class JsonDirSource(dir: String, maxFilesPerTrigger: Int = 10)
       .select(col("id"), unbase64(col("data_b64")).as("data"), col("ts"))
 }
 
+/** Replay an EXISTING parquet table (any schema) through the bus: each row
+  * becomes a Msg with `id` from `idCol`, the full row JSON-encoded as the
+  * payload, and `ts` from `tsExpr`. The file source streams the table's
+  * files through the checkpoint like any other source — the "point the bus
+  * at your data lake" adapter (no reformatting into the msg layout needed).
+  */
+final class TableReplaySource(
+    path: String,
+    idCol: String,
+    tsExpr: String,
+    maxFilesPerTrigger: Int = 10) extends BusSource {
+  def stream(spark: SparkSession): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source requires a DIRECTORY; a single-file table
+    // streams via its parent + a glob filter
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+    var reader = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val raw = reader.parquet(dir)
+    raw.select(
+      col(idCol).cast("string").as("id"),
+      encode(to_json(struct(raw.columns.map(col): _*)), "UTF-8").as("data"),
+      expr(tsExpr).cast("timestamp").as("ts"))
+  }
+}
+
 /** Streaming source over a directory of headerless CSV files with columns
   * (id, data_b64, ts) — base64 payloads, like JsonDirSource (CSV cannot
   * carry raw bytes either). Same checkpointed file tracking.

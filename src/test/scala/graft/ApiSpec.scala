@@ -44,6 +44,32 @@ class ApiSpec extends SparkSpec {
     assert(BusConfig.fromEnv(Map.empty) == BusConfig())
   }
 
+  test("table replay source streams an existing parquet table as messages") {
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark,
+      new TableReplaySource(s"$sfDir/documents.parquet",
+        idCol = "doc_id", tsExpr = "timestamp('2024-01-01 00:00:00')"),
+      FrizzleStream.exprProcessor(dest = lit("replay"), failed = lit(false)),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("replay_ck").toString))
+      .start()
+    bus.awaitIdle()
+    bus.flushAndClose(15000)
+    val expected = graft.ops.tbl(spark, sfDir, "documents").count()
+    val got = sink.sent("replay")
+    assert(got.size.toLong == expected, "every table row becomes one message")
+    // payload is the JSON row — fields survive the trip
+    assert(got.forall(m => m.dataUtf8.contains("\"doc_id\"") &&
+      m.dataUtf8.contains("\"text\"")))
+  }
+
+  test("registerTables makes the fixtures SQL-queryable") {
+    Graft.registerTables(spark, sfDir)
+    assert(spark.sql("SELECT COUNT(*) FROM lineitem").as[Long].head() > 0)
+    // events view carries the ns→µs normalized timestamp
+    assert(spark.sql("SELECT MAX(ts) FROM events").head().get(0) != null)
+  }
+
   test("rate source generates load through the bus") {
     val sink = new MemorySink
     val bus = new FrizzleStream(spark, new RateSource(rowsPerSecond = 100),
