@@ -75,6 +75,20 @@ class PlanAuditSpec extends SparkSpec
       "the fact side must not shuffle for a broadcast-hinted join")
   }
 
+  test("q_topk_per_group pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    val plan = query("q_topk_per_group").queryExecution.sparkPlan.toString
+    // partial WindowGroupLimit before the exchange + final after: each map
+    // task ships only its per-group top-3, not the whole partition
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= 3 must compile to WindowGroupLimit pushdown:\n$plan")
+  }
+
+  test("q_sort_limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = query("q_sort_limit").queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-25 must be per-partition top-N + driver merge:\n$plan")
+  }
+
   test("q_agg_group plans a partial (map-side) aggregate below the shuffle") {
     val plan = query("q_agg_group").queryExecution.executedPlan.toString
     // plan prints top-down: the partial aggregate appears AFTER the hash
