@@ -217,6 +217,32 @@ object TimeWindows {
              |ORDER BY day ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Mergeable-sketch rollup: per-day HLL sketches built ONCE, then
+      // UNIONED into the total — distinct users per day AND overall from
+      // one scan, no re-aggregation of raw data. This is the 100 TB
+      // cardinality architecture: sketches are partial-aggregate state
+      // (constant size), so daily sketches persist and any period rolls
+      // up by union, never by rescan. Sketch bytes are engine-specific →
+      // ScalaTest bound vs exact.
+      "q_hll_union",
+      (s, d) => {
+        val daily = tbl(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("events"))
+        val perDay = daily.select(col("day"),
+          hll_sketch_estimate(col("sk")).as("distinct_users"), col("events"))
+        val total = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"),
+          sum(col("events")).cast("long").as("events"))
+          .select(lit(null).cast("timestamp").as("day"),
+            col("distinct_users"), col("events"))
+        perDay.unionByName(total)
+          .orderBy(asc_nulls_first("day"))
+      },
+      None
+    ),
+    Q(
       // HLL++ sketch distinct per event_type; ScalaTest asserts ±5% of
       // exact. No oracle (HLL implementations differ across engines).
       "q_approx_distinct",

@@ -59,6 +59,21 @@ class TimeWindowSpec extends SparkSpec {
       "the relational gaps-and-islands count must equal session_window's")
   }
 
+  test("q_hll_union: sketch rollup within 5% of exact, total = union of days") {
+    val rows = query("q_hll_union")
+      .select(col("day").cast("string"), col("distinct_users"), col("events"))
+      .as[(Option[String], Long, Long)].collect()
+    val (totalRow, dayRows) = rows.partition(_._1.isEmpty)
+    assert(totalRow.length == 1 && dayRows.nonEmpty)
+    val exactTotal = graft.ops.tbl(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    val est = totalRow.head._2.toDouble
+    assert(math.abs(est - exactTotal) / exactTotal < 0.05,
+      s"union estimate $est vs exact $exactTotal")
+    // events tally exactly
+    assert(dayRows.map(_._3).sum == totalRow.head._3)
+  }
+
   test("q_approx_distinct within 5% of exact per event_type") {
     val approx = query("q_approx_distinct")
       .select(col("event_type"), col("approx_users")).as[(String, Long)]
