@@ -87,9 +87,13 @@ object Dedup {
       .localCheckpoint(eager = false) // reused every iteration
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    var changed = 1L
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so sum(label) is strictly monotone until the fixed
+    // point — an O(1)-row aggregate per round instead of a join+count.
+    var prevSum = Long.MaxValue
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    var converged = false
+    while (!converged && it < maxIter) {
       // min label among self + neighbors
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -99,8 +103,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(eager = false) // truncate the iterative lineage
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       it += 1
     }
