@@ -12,7 +12,13 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_group", "q_window_rank", "q_dedup_exact", "q_minhash_neardup",
     "q_range_join", "q_left_join", "q_sim_cosine_topk", "q_explode_tokens",
     "q_dedup_docs_exact", "stream_bus_e2e", "q_window_dist", "q_top_bigrams",
-    "q_pipeline_clean")
+    "q_pipeline_clean",
+    // round-3 additions with partition-sensitive shapes: iterative CC,
+    // sketch rollup, two-phase salted agg, TF-IDF join+window, exact
+    // moments, gaps-and-islands, bucket-expansion levenshtein
+    "q_dedup_clusters", "q_salted_agg", "q_tfidf", "q_exact_moments",
+    "q_session_gaps", "q_edit_distance", "q_window_range_frame",
+    "q_date_spine", "q_sim_cosine_ivf")
 
   sample.foreach { name =>
     test(s"$name is identical under shuffle.partitions 3 and 13") {
