@@ -35,6 +35,13 @@ object KafkaAdapters {
           col("timestamp").as("ts"))
   }
 
+  /** Config-driven construction: BUFFER_SIZE → maxOffsetsPerTrigger (the
+    * reference's per-trigger record budget, basic/source.go:13-17).
+    */
+  def source(bootstrapServers: String, topic: String, cfg: BusConfig): KafkaSource =
+    new KafkaSource(bootstrapServers, topic,
+      maxOffsetsPerTrigger = cfg.bufferSize.toLong)
+
   /** Writes each routed batch to the destination topic (dest = topic). */
   final class KafkaSink(bootstrapServers: String) extends BusSink {
     def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit =

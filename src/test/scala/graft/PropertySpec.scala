@@ -84,6 +84,22 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("hashSample nests and is rate-monotone for arbitrary rate pairs") {
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .select("doc_id", "text").cache()
+    docs.count()
+    val rateGen = Gen.choose(0, 100).map(_ / 100.0)
+    check(Prop.forAll(rateGen, rateGen) { (r1, r2) =>
+      val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+      val sLo = graft.ops.Scale.hashSample(docs, lo, Seq("text"))
+        .select("doc_id").as[Long].collect().toSet
+      val sHi = graft.ops.Scale.hashSample(docs, hi, Seq("text"))
+        .select("doc_id").as[Long].collect().toSet
+      sLo.subsetOf(sHi) && sLo.size <= sHi.size
+    }, n = 10)
+    docs.unpersist()
+  }
+
   test("saltedSum equals direct groupBy for arbitrary data and salt counts") {
     val rowsGen = Gen.listOfN(80, Gen.zip(Gen.choose(1L, 6L), Gen.choose(-100, 100)))
     val saltsGen = Gen.choose(2, 12)

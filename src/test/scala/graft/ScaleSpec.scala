@@ -100,6 +100,33 @@ class ScaleSpec extends SparkSpec {
       s"exactly one lang= directory must be scanned, metrics: ${scanExec.metrics.view.mapValues(_.value).toMap}")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // one hot key dominating the fact side; thresholds lowered so the
+    // fixture-scale skew triggers the same re-plan a 100 TB hot key would
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force sort-merge
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = (1 to 60000).map(i => (1L, s"payload-$i-${"x" * 20}"))
+      val tail = (2 to 40).map(k => (k.toLong, "t"))
+      val fact = (hot ++ tail).toDF("k", "payload")
+      val dim = (1 to 40).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      val qe = joined.queryExecution
+      qe.toRdd.count() // materialize so AQE finalizes the plan
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark and split the skewed side:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without an exchange on either side") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
