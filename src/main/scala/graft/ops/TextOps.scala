@@ -175,6 +175,33 @@ object TextOps {
              |ORDER BY cnt DESC NULLS LAST, bg ASC NULLS FIRST LIMIT 30""".stripMargin)
     ),
     Q(
+      // Canonical text normalization — the cleaning primitive every corpus
+      // pipeline runs before dedup/tokenization: lowercase, strip
+      // non-alphanumerics, collapse whitespace runs, trim. Pure narrow
+      // projection (one codegen span); deterministic string ops on both
+      // engines. Emits a content hash-groupable normalized form + the
+      // shrinkage it caused.
+      "q_text_normalize",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            norm.as("text_norm"),
+            length(col("text")).cast("long").as("len_raw"),
+            length(norm).cast("long").as("len_norm"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |       ' +', ' ', 'g')) AS text_norm,
+             |  CAST(LENGTH(text) AS BIGINT) AS len_raw,
+             |  CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |       ' +', ' ', 'g'))) AS BIGINT) AS len_norm
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Regex-class tokenization (the BPE-ish tokenizer tier above plain
       // whitespace split): extract alpha runs directly — generator + one
       // map-side-combined count, same scale shape as q_explode_tokens.

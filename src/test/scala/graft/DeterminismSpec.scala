@@ -18,7 +18,8 @@ class DeterminismSpec extends SparkSpec {
     // moments, gaps-and-islands, bucket-expansion levenshtein
     "q_dedup_clusters", "q_salted_agg", "q_tfidf", "q_exact_moments",
     "q_session_gaps", "q_edit_distance", "q_window_range_frame",
-    "q_date_spine", "q_sim_cosine_ivf")
+    "q_date_spine", "q_sim_cosine_ivf", "q_hll_union", "q_media_audio",
+    "q_array_hof")
 
   sample.foreach { name =>
     test(s"$name is identical under shuffle.partitions 3 and 13") {
