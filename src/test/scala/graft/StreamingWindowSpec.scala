@@ -80,6 +80,33 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling window over the replayed fixture equals the batch query") {
+    // the same window expression in both execution modes must agree: replay
+    // the events table as a stream (file source), aggregate per day with a
+    // lateness horizon beyond the data span, compare against the batch
+    // q_tumbling_window day counts.
+    import org.apache.spark.sql.functions.lit
+    import graft.bus.TableReplaySource
+    val src = new TableReplaySource(s"$sfDir/events.parquet",
+      idCol = "event_id", tsExpr = "timestamp_micros(ts div 1000)")
+    val stream = src.stream(spark).withColumn("value", lit(1.0))
+    val out = StreamingWindows.tumbling(stream, "ts", "1 day", "3650 days")
+    val q = out.writeStream.format("memory").queryName("replay_tumbling")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("replay_tumbling")
+        .select($"win_start".cast("string"), $"cnt")
+        .as[(String, Long)].collect().toMap
+      val batch = query("q_tumbling_window")
+        .select($"day".cast("string"), $"cnt")
+        .as[(String, Long)].collect().toMap
+      assert(streaming == batch,
+        "streaming and batch tumbling windows must agree on the same data")
+    } finally q.stop()
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
