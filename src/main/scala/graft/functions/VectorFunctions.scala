@@ -40,19 +40,25 @@ object VectorFunctions {
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }
 
-  /** Sign bit of `v · plane` for one deterministic pseudo-random hyperplane.
-    * Plane components are ±1 derived from xxhash64(planeId, dimIndex) — no
-    * stored plane matrix, reproducible on any cluster.
+  /** ±1 hyperplane for `planeId` as a LITERAL array<float>: the signs are
+    * plan-time constants (seeded PRNG per plane), so the projection is one
+    * codegen'd [[dot]] against a broadcast literal — the previous
+    * formulation re-derived every sign with a runtime hash per element per
+    * plane (dims × planes hashes + an intermediate array per row).
+    * Deterministic on any cluster: the plane depends only on planeId/dim.
     */
-  def hyperplaneBit(v: Column, planeId: Int): Column = {
-    val signed = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => when(pmod(xxhash64(lit(planeId), i), lit(2)) === 0, x).otherwise(-x)),
-      lit(0.0), (acc, x) => acc + x)
-    when(signed >= 0, 1L).otherwise(0L)
+  private[graft] def planeLit(planeId: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ planeId.toLong)
+    typedLit(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
+  /** Sign bit of `v · plane` for one deterministic pseudo-random hyperplane
+    * of dimension `dim` (must cover the vector length).
+    */
+  def hyperplaneBit(v: Column, planeId: Int, dim: Int = 64): Column =
+    when(dot(v, planeLit(planeId, dim)) >= 0, 1L).otherwise(0L)
+
   /** nBits-bit signed-random-projection LSH bucket id for a vector. */
-  def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => hyperplaneBit(v, b) * (1L << b)).reduce(_ + _)
+  def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =
+    (0 until nBits).map(b => hyperplaneBit(v, b, dim) * (1L << b)).reduce(_ + _)
 }
