@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation family: hash agg, distinct agg, HAVING, rollup/cube/
@@ -212,6 +213,61 @@ object Aggregates {
              |  MAX(c_custkey) AS max_key,
              |  COUNT(*) AS cnt
              |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Two-level aggregation (avg of per-entity sums): the inner keyed agg
+      // bounds the outer input, so the second shuffle carries one row per
+      // customer — a shape distinct from single-level GROUP BY.
+      "q_two_level_agg",
+      (s, d) => {
+        val perCust = tbl(s, d, "orders")
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(sum(dec(col("o_totalprice"))).as("cust_total"))
+        perCust
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("cust_cnt"),
+            (sum(col("cust_total")).cast("double") / count(lit(1))).as("avg_cust_total"))
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cust_cnt,
+             |  CAST(SUM(cust_total) AS DOUBLE) / COUNT(*) AS avg_cust_total
+             |FROM (
+             |  SELECT c_custkey, c_mktsegment,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS cust_total
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY c_custkey, c_mktsegment)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Percent-of-total report: group shares via a window over the
+      // AGGREGATED input (5 segment rows) — the empty-partition window is
+      // fine post-agg at any scale; running it over raw rows would
+      // serialize the table through one task.
+      "q_pct_of_total",
+      (s, d) => {
+        val w = Window.partitionBy() // global — over the 5-row aggregate only
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val seg = tbl(s, d, "customer")
+          .groupBy("c_mktsegment")
+          .agg(sum(dec(col("c_acctbal"))).as("seg_bal"))
+        seg
+          .select(col("c_mktsegment"),
+            col("seg_bal").cast("double").as("seg_bal_d"),
+            (col("seg_bal").cast("double") /
+              sum(col("seg_bal")).over(w).cast("double")).as("share"))
+          .withColumnRenamed("seg_bal_d", "seg_bal")
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(seg_bal AS DOUBLE) AS seg_bal,
+             |  CAST(seg_bal AS DOUBLE) / CAST(SUM(seg_bal) OVER () AS DOUBLE) AS share
+             |FROM (
+             |  SELECT c_mktsegment, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS seg_bal
+             |  FROM customer GROUP BY c_mktsegment)
              |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
     ),
     Q(

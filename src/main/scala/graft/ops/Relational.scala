@@ -198,6 +198,34 @@ object Relational {
              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // TPC-H-Q3-style three-way join chain: filtered dimension →
+      // fact → detail, aggregated. All equi-joins shuffle on their keys;
+      // the segment filter prunes before the first join.
+      "q_threeway_join",
+      (s, d) => {
+        tbl(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(
+            asDec(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+              .as("revenue"),
+            count(lit(1)).as("line_cnt"))
+          .orderBy(asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             |         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS line_cnt
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_asof_join",
       (s, d) => {
         // As-of: each event takes the latest order of the same user at or
