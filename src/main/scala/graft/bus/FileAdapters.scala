@@ -50,10 +50,19 @@ object FileAdapters {
     * (/root/reference/basic/source.go:47-49).
     */
   final class ParquetDirSink(outDir: String) extends BusSink {
-    def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit =
+    def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
+      // dest is interpolated into the filesystem path: reject anything that
+      // could escape outDir ('/', '..') or corrupt the dest=<v>/ partition
+      // layout ('=', '%', NUL — the chars Spark's partitioning escapes).
+      // Destinations are topic names; a name needing escaping is a config
+      // error, not a value to quietly mangle.
+      require(dest.nonEmpty && !dest.contains('/') && !dest.contains('\\') &&
+        !dest.contains("..") && "=% \u0000".forall(c => !dest.contains(c)),
+        s"illegal destination for path-partitioned sink: '$dest'")
       batch.toDF()
         .write.mode("overwrite")
         .parquet(s"$outDir/dest=$dest/batch_id=$batchId")
+    }
   }
 }
 

@@ -47,16 +47,34 @@ object VectorFunctions {
     * plane (dims × planes hashes + an intermediate array per row).
     * Deterministic on any cluster: the plane depends only on planeId/dim.
     */
-  private[graft] def planeLit(planeId: Int, dim: Int): Column = {
+  private[graft] def planeSigns(planeId: Int, dim: Int): Array[Float] = {
     val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ planeId.toLong)
-    typedLit(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
+  private[graft] def planeLit(planeId: Int, dim: Int): Column =
+    typedLit(planeSigns(planeId, dim))
+
+  /** The same plane as a DuckDB array literal — the signs are exact small
+    * integers, so the SQL oracle computes the IDENTICAL projection (both
+    * engines fold exact doubles in array order; see Similarity's LSH
+    * oracles).
+    */
+  private[graft] def planeSql(planeId: Int, dim: Int): String =
+    planeSigns(planeId, dim).map(v => if (v > 0) "1" else "-1")
+      .mkString("CAST([", ",", "] AS DOUBLE[])")
+
   /** Sign bit of `v · plane` for one deterministic pseudo-random hyperplane
-    * of dimension `dim` (must cover the vector length).
+    * of dimension `dim`. The plane must COVER the vector: [[dot]] folds the
+    * common prefix, so a vector longer than `dim` would silently project
+    * onto its first `dim` components — fail loudly instead of bucketing on
+    * a truncated projection.
     */
   def hyperplaneBit(v: Column, planeId: Int, dim: Int = 64): Column =
-    when(dot(v, planeLit(planeId, dim)) >= 0, 1L).otherwise(0L)
+    when(size(v) > dim,
+      raise_error(concat(lit("hyperplaneBit: vector dim "),
+        size(v).cast("string"), lit(s" exceeds plane dim $dim"))))
+      .otherwise(when(dot(v, planeLit(planeId, dim)) >= 0, 1L).otherwise(0L))
 
   /** nBits-bit signed-random-projection LSH bucket id for a vector. */
   def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =

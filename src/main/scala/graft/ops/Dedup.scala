@@ -103,12 +103,21 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(eager = false) // truncate the iterative lineage
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      // coalesce: sum over an EMPTY labels frame (no candidate pairs at all)
+      // is null — an empty graph is trivially converged, not an NPE
+      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
     }
+    if (!converged)
+      // partially-propagated labels are WRONG cluster ids — never return
+      // them silently; near-dup graphs have diameter ~2-3, so hitting this
+      // means the input is not a near-dup graph (or maxIter is mis-set)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

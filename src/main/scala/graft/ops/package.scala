@@ -65,9 +65,12 @@ package object ops {
     */
   def sortOnce(df: DataFrame)(keys: Column*): DataFrame =
     // The checkpoint truncates lineage to `Scan ExistingRDD`, which blinds
-    // plan audits to everything beneath it; PlanAuditSpec sets this
-    // property to audit the full pre-checkpoint plan (semantics identical).
-    if (sys.props.contains("graft.sortOnce.nocheckpoint")) df.orderBy(keys: _*)
+    // plan audits to everything beneath it; plan auditors (PlanAuditSpec,
+    // tools.Explain) set this SESSION conf to audit the full pre-checkpoint
+    // plan (semantics identical). A session conf, not a JVM property:
+    // concurrent sessions in one JVM must not see each other's audit mode.
+    if (df.sparkSession.conf.get("graft.sortOnce.nocheckpoint", "false") == "true")
+      df.orderBy(keys: _*)
     else df.localCheckpoint(eager = false).orderBy(keys: _*)
 
   /** Canonical aggregate OUTPUT type: DOUBLE. Summation happens in exact

@@ -12,8 +12,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    // audit the full pre-checkpoint plan (see graft.ops.sortOnce)
-    sys.props("graft.sortOnce.nocheckpoint") = "1"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
@@ -24,6 +22,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit the full pre-checkpoint plan (see graft.ops.sortOnce)
+    spark.conf.set("graft.sortOnce.nocheckpoint", "true")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

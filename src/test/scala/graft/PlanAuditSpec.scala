@@ -10,13 +10,15 @@ package graft
 class PlanAuditSpec extends SparkSpec
     with org.scalatest.BeforeAndAfterAll {
 
-  // see sortOnce: audit the full pre-checkpoint plan
+  // see sortOnce: audit the full pre-checkpoint plan (session conf, so
+  // other suites sharing the JVM but using their own plans are unaffected
+  // only while this suite holds the shared session — restore in afterAll)
   override def beforeAll(): Unit = {
-    sys.props("graft.sortOnce.nocheckpoint") = "1"
+    spark.conf.set("graft.sortOnce.nocheckpoint", "true")
     super.beforeAll()
   }
   override def afterAll(): Unit = {
-    sys.props.remove("graft.sortOnce.nocheckpoint")
+    spark.conf.unset("graft.sortOnce.nocheckpoint")
     super.afterAll()
   }
 
@@ -87,6 +89,23 @@ class PlanAuditSpec extends SparkSpec
     val plan = query("q_sort_limit").queryExecution.sparkPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-25 must be per-partition top-N + driver merge:\n$plan")
+  }
+
+  // The "self-join computes its shared subtree once" claims
+  // (Dedup.minhashPairs, Similarity.lshNearDupPairs), pinned: the two join
+  // sides are identical subtrees, so the planner's ReuseExchange rule must
+  // dedup the signature/bucket shuffle. Audited with AQE off — under AQE
+  // the same dedup happens via stage reuse, which has no stable plan-string
+  // marker; the static rule is the contract.
+  Seq("q_minhash_neardup", "q_embed_neardup_all").foreach { name =>
+    test(s"$name computes the self-join's shared shuffle once (ReusedExchange)") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = query(name).queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"),
+          s"$name must plan a ReusedExchange for the self-join input:\n$plan")
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("q_agg_group plans a partial (map-side) aggregate below the shuffle") {

@@ -133,6 +133,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_embed_neardup_all: corpus-wide recall ≥ 0.8 and precision 1.0 vs brute force") {
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val floor = 0.4
+    val truth = (for {
+      (a, va) <- emb.toSeq; (b, vb) <- emb.toSeq
+      if a < b && cosScala(va, vb) > floor
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    val got = query("q_embed_neardup_all")
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    // exact re-score after candidate generation → every returned pair is a
+    // TRUE pair (precision 1.0); only recall depends on the LSH parameters
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"corpus-wide near-dup recall $recall (${got.size}/${truth.size})")
+  }
+
+  test("q_embed_clusters groups exactly the transitive closure of the found pairs") {
+    val pairs = query("q_embed_neardup_all")
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    // driver-side union-find over the engine's own pairs = expected clusters
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (root, members) => root -> members.length.toLong }
+    val got = query("q_embed_clusters")
+      .select(col("cluster_id"), col("cluster_size")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == want, s"cluster census mismatch: got ${got.size} want ${want.size} clusters")
+  }
+
   test("q_embed_neardup returns the true nearest neighbor per probe") {
     val emb = graft.ops.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
