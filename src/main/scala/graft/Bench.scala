@@ -13,17 +13,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: a fresh JVM runs ~2-5× slower until codegen + JIT
-    // compile the hot paths (parquet scan, hash agg, window, sort). Warm
-    // the session on three representative queries so the timed pass
-    // measures plan cost, not first-query compilation — the first map
-    // entry otherwise absorbs several seconds of uniform session warm-up.
-    Seq("q_sort_limit", "q_agg_group", "q_window_rank").foreach { n =>
+    // compile the hot paths. Warm one query per major codegen shape (scan/
+    // sort, hash agg, expand+distinct agg, window, broadcast join,
+    // conditional projection, generator, JSON parse) so the timed pass
+    // measures plan cost, not first-query compilation — the first entry
+    // otherwise absorbs several seconds of uniform session warm-up (the
+    // r03→r02 "regressions" on three agg queries were exactly this: map
+    // iteration order shifted when keys were added, and the newly-early
+    // queries absorbed the residual JIT; warm_min plan cost was flat).
+    Seq("q_sort_limit", "q_agg_group", "q_agg_distinct", "q_window_rank",
+        "q_broadcast_join", "q_case_null", "q_explode_tokens",
+        "q_json_extract").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted key order: STABLE across rounds (a Map's iteration order
+    // reshuffles as keys are added, which moves where residual warm-up
+    // cost lands and makes per-query numbers incomparable round-to-round).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Evaluate the FULL physical plan: toRdd.count() materializes every
       // output column (a DataFrame count() would let Catalyst prune the
@@ -34,7 +43,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -80,10 +80,15 @@ object Dedup {
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
       maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Undirected edge list, both directions, PLUS a self-loop per node: the
+    // self-loop makes "min over neighborhood" include the node's own label,
+    // so each round is ONE join + ONE aggregate (two joins per round
+    // otherwise — the self-label least() needs a second join back to the
+    // previous labels).
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
+    val edges = sym
+      .unionByName(sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint(eager = false) // reused every iteration
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -94,14 +99,11 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // min label among self + neighbors
-      val neighborMin = edges
+      // min label over self + neighbors (self-loop covers the node itself)
+      val next = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint(eager = false) // truncate the iterative lineage
       // coalesce: sum over an EMPTY labels frame (no candidate pairs at all)
       // is null — an empty graph is trivially converged, not an NPE
