@@ -42,6 +42,49 @@ class ScaleSpec extends SparkSpec {
     assert(buckets > 4, s"hot key spread over $buckets salt buckets")
   }
 
+  test("jaccardPairs dfCeiling drops the planted stopword and bounds index buckets") {
+    // 40 docs, every one containing stopword "zzz" (DF 40 — a skew bomb:
+    // 40² = 1600 join rows from one token); pairs of near-dup docs share
+    // their real tokens
+    val docs = (0 until 40).map { i =>
+      // planted near-dup pairs (2k, 2k+1) share 4 of 5 real tokens →
+      // J = 4/6 > 0.6 after the stopword drops (with it: 5/7, so the
+      // exact counts differ and got==want proves the ceiling fired)
+      val base = if (i % 2 == 0) i else i - 1
+      val last = if (i % 2 == 0) s"delta$i" else s"eps$i"
+      (i.toLong, s"zzz alpha$base beta$base gamma$base kappa$base $last")
+    }.toDF("doc_id", "text")
+    val ceiling = 10L
+    val got = graft.ops.TextOps.jaccardPairs(docs, dfCeiling = ceiling)
+      .select("a_id", "b_id", "inter_cnt", "union_cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // driver-side truth over the SUB-CEILING vocabulary
+    val toks = (0 until 40).map { i =>
+      val t = docs.filter(col("doc_id") === i).head.getString(1).split(" ").toSet
+      i.toLong -> t
+    }.toMap
+    val df = toks.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val kept = toks.view.mapValues(_.filter(t => df(t) <= ceiling)).toMap
+    val want = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L
+      inter = (kept(a) & kept(b)).size
+      union = (kept(a) | kept(b)).size
+      if inter * 10 > union * 6
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+    assert(got == want, s"pairs over filtered vocab: got ${got.size} want ${want.size}")
+    // the stopword is gone from the index: no token bucket exceeds the ceiling
+    val maxBucket = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct()
+      .groupBy("token").count().agg(max("count")).head.getLong(0)
+    assert(maxBucket == 40L, "fixture must actually contain the DF-40 stopword")
+    // with the ceiling, every surviving (a,b) intersection came from
+    // sub-ceiling tokens only — "zzz" alone would have paired all 780
+    // combinations; filtered truth keeps only the planted near-dup pairs
+    assert(want.forall { case (a, b, _, _) => b == a + 1 && a % 2 == 0 },
+      "only planted even/odd near-dup pairs survive the stopword removal")
+  }
+
   test("hashSample: deterministic, rate-accurate, and nested") {
     val docs = graft.ops.tbl(spark, sfDir, "documents")
     val total = docs.count().toDouble
