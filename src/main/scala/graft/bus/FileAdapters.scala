@@ -24,13 +24,35 @@ object FileAdapters {
     * `maxFilesPerTrigger` is the admission-control knob (the analog of the
     * reference's BUFFER_SIZE, /root/reference/basic/source.go:13-17).
     */
-  final class ParquetDirSource(dir: String, maxFilesPerTrigger: Int = 10)
+  final class ParquetDirSource(dir: String, maxFilesPerTrigger: Int = 10,
+      recursive: Boolean = false)
       extends BusSource {
     def stream(spark: SparkSession): DataFrame =
       spark.readStream
         .schema(msgSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        // recursive: read a batch_id=N subtree (chain spool) as a flat
+        // stream of msg files, no partition-column inference
+        .option("recursiveFileLookup", recursive.toString)
         .parquet(dir)
+  }
+
+  /** A18 bus chaining through the STORE, not the driver: the upstream bus
+    * writes with [[ParquetDirSink]] into a spool directory; the downstream
+    * bus streams one routed destination's subtree with this source. The
+    * handoff is executor-side parquet I/O at both ends — the previous
+    * ForwardSink collect()ed every chained row through the driver, which
+    * caps chaining at driver memory. Replayed upstream epochs overwrite
+    * their own batch_id=N dir with fresh part-file names, which the
+    * downstream file-source checkpoint sees as new input: chaining is
+    * at-least-once across the link (same as the reference's in-process
+    * handoff; dedup at the final sink if exactly-once is required).
+    */
+  def chainSource(spoolDir: String, dest: String,
+      maxFilesPerTrigger: Int = 10): ParquetDirSource = {
+    val d = new java.io.File(s"$spoolDir/dest=$dest")
+    d.mkdirs() // the subtree may not exist until the upstream's first write
+    new ParquetDirSource(d.toString, maxFilesPerTrigger, recursive = true)
   }
 
   /** Config-driven construction: BUFFER_SIZE → maxFilesPerTrigger (the

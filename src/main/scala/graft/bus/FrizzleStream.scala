@@ -47,6 +47,12 @@ final case class BusEvent(level: String, message: String)
   *     to the fail sink (dead-letter) inside the same epoch.
   *   - Backpressure is trigger pacing (`maxPerTrigger`) instead of the
   *     reference's unbuffered channel handoff.
+  *   - Configuration is constructor-only, by design: the reference's
+  *     post-init AddOptions (/root/reference/frizzle.go:82-87) mutates a
+  *     running bus, which cannot be made consistent with a checkpointed
+  *     streaming query (transform chains are compiled into the plan).
+  *     Reconfigure = flushAndClose + construct anew; the checkpoint carries
+  *     the offsets across the restart.
   *
   * The processor is set-oriented: DataFrame(id,data,ts) → same columns plus
   * `dest` (string; null = don't send) and `failed` (boolean). A per-message
@@ -66,7 +72,8 @@ final class FrizzleStream(
     sendTransforms: Seq[MsgTransform] = Nil,
     checkpointDir: Option[String] = None,
     triggerIntervalMs: Long = 0L,
-    defaultFlushTimeoutMs: Long = 30000L) {
+    defaultFlushTimeoutMs: Long = 30000L,
+    rateLogIntervalMs: Long = 30000L) {
 
   import spark.implicits._
 
@@ -78,7 +85,7 @@ final class FrizzleStream(
   def events: Seq[BusEvent] = eventQueue.asScala.toSeq
 
   // Listener registration is SparkSession-global; with two buses on one
-  // session (the supported ForwardSink chaining scenario) every listener sees
+  // session (the supported spool-chaining scenario) every listener sees
   // every query's events. Filter to this bus's query id so stats/events don't
   // absorb the other bus's traffic. The "started" event is emitted directly
   // in start() (the started callback can fire before `query` is assigned).
@@ -87,10 +94,29 @@ final class FrizzleStream(
       val q = query
       q != null && q.id == id
     }
+    // A13 periodic rate report — the analog of the reference's ticker that
+    // logs (acked+failed)/sec every ReportInterval
+    // (/root/reference/options.go:44-70). Piggybacked on progress events
+    // (no extra thread): at most one line per rateLogIntervalMs, emitted as
+    // an info BusEvent and a log line.
+    @volatile private var lastRateLog = 0L
+    private def maybeLogRate(): Unit = {
+      val now = System.currentTimeMillis()
+      if (now - lastRateLog >= rateLogIntervalMs) {
+        lastRateLog = now
+        val line = f"rate: ${stats.lastRowsPerSec}%.1f rows/s " +
+          s"acked=${stats.ack.get} failed=${stats.fail.get}"
+        eventQueue.add(BusEvent("info", line))
+        println(s"[frizzle] $line")
+      }
+    }
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       // A13 rate monitor: processed rows/sec from engine progress.
-      if (mine(e.progress.id)) stats.lastRowsPerSec = e.progress.processedRowsPerSecond
+      if (mine(e.progress.id)) {
+        stats.lastRowsPerSec = e.progress.processedRowsPerSecond
+        maybeLogRate()
+      }
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
       if (mine(e.id)) {
@@ -247,11 +273,7 @@ object FrizzleStream {
       defaultFlushTimeoutMs = cfg.flushTimeoutMs)
 }
 
-/** A18 bus chaining: a sink that feeds another bus's in-memory source, so
-  * frizzles compose source→bus→bus (the reference's Friz implements both
-  * Source and Sink; /root/reference/frizzle.go:23-25).
-  */
-final class ForwardSink(target: MemorySource) extends BusSink {
-  def write(batch: org.apache.spark.sql.Dataset[Msg], dest: String, batchId: Long): Unit =
-    target.put(batch.collect().toIndexedSeq: _*)
-}
+// A18 bus chaining lives in FileAdapters.chainSource + ParquetDirSink: the
+// reference's Friz implements both Source and Sink so buses compose
+// in-process (/root/reference/frizzle.go:23-25); here the composition is a
+// store-backed spool so the handoff never funnels data through the driver.

@@ -65,6 +65,15 @@ final class MemorySource(spark: SparkSession) extends BusSource {
 final class MemorySink extends BusSink {
   private val byDest = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
   private val seenBatches = ConcurrentHashMap.newKeySet[(Long, String)]()
+  private val replayCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Dropped duplicate deliveries so far — the observable analog of the
+    * reference's ErrAlreadyAcked (/root/reference/msg.go:8-10,
+    * common/unacked.go:33-35): per-Msg double-ack surfaces as an error
+    * return there; epoch-level ack surfaces the double-delivery here, as a
+    * counted replay at the sink.
+    */
+  def replays: Long = replayCounter.get
 
   def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
     // Mark (batchId, dest) seen only once the append succeeds: if collect or
@@ -72,7 +81,7 @@ final class MemorySink extends BusSink {
     // rather than silently dropped (exactly-once = dedup of *successful*
     // deliveries).
     val key = (batchId, dest)
-    if (!seenBatches.add(key)) return
+    if (!seenBatches.add(key)) { replayCounter.incrementAndGet(); return }
     try {
       val rows = batch.collect()
       byDest.computeIfAbsent(dest, _ => ArrayBuffer.empty[Msg])

@@ -79,17 +79,17 @@ class BusSpec extends SparkSpec {
     assert(bare.map(_.dataUtf8).toSeq == Seq("payload", ""))
   }
 
-  test("bus chaining: sink of one bus feeds the next (A18)") {
+  test("bus chaining hands off through the store, not the driver (A18)") {
     val src1 = new MemorySource(spark)
-    val src2 = new MemorySource(spark)
+    val spool = Files.createTempDirectory("busspool").toString
     val end = new MemorySink
-    // bus1 uppercases nothing, routes everything to "mid" via ForwardSink→src2
+    // bus1 routes everything to "mid", writing the spool executor-side
     val bus1 = new FrizzleStream(spark, src1,
       FrizzleStream.exprProcessor(dest = lit("mid"), failed = lit(false)),
-      new ForwardSink(src2),
+      new FileAdapters.ParquetDirSink(spool),
       checkpointDir = Some(Files.createTempDirectory("busck1").toString))
-    // bus2 routes all-lowercase to "out"
-    val bus2 = new FrizzleStream(spark, src2,
+    // bus2 streams the spool's "mid" subtree and routes all-lowercase to "out"
+    val bus2 = new FrizzleStream(spark, FileAdapters.chainSource(spool, "mid"),
       FrizzleStream.exprProcessor(
         dest = when(col("data").cast("string").rlike("^[a-z]+$"), "out"),
         failed = lit(false)),
@@ -132,8 +132,13 @@ class BusSpec extends SparkSpec {
     val sink = new MemorySink
     val ds = Seq(Msg.utf8("1", "a")).toDS()
     sink.write(ds, "t", 7L)
+    assert(sink.replays == 0)
     sink.write(ds, "t", 7L) // replay of the same epoch
     assert(sink.sent("t").size == 1)
+    // the dropped duplicate is OBSERVABLE — the ErrAlreadyAcked analog
+    // (reference msg.go:8-10): epoch ack surfaces double-delivery as a
+    // counted replay instead of a per-Msg error return
+    assert(sink.replays == 1)
   }
 
   test("memory sink re-accepts the replay after a failed write") {
@@ -164,6 +169,35 @@ class BusSpec extends SparkSpec {
     bus1.flushAndClose(10000); bus2.flushAndClose(10000)
     assert(bus1.events.count(_.message.startsWith("query terminated")) <= 1)
     assert(bus2.events.count(_.message.startsWith("query terminated")) <= 1)
+  }
+
+  test("periodic rate report is emitted from progress (A13 ticker analog)") {
+    val src = new MemorySource(spark)
+    val bus = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(dest = lit("out"), failed = lit(false)),
+      new MemorySink,
+      checkpointDir = Some(Files.createTempDirectory("busrate").toString),
+      rateLogIntervalMs = 0L) // log on every progress event for the test
+    bus.start()
+    src.put(Msg.utf8("1", "a"))
+    bus.awaitIdle()
+    // progress events arrive asynchronously after the epoch commits
+    val deadline = System.currentTimeMillis() + 10000
+    while (!bus.events.exists(_.message.startsWith("rate:")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(bus.events.exists(e => e.level == "info" && e.message.startsWith("rate:")),
+      s"a rate line must be emitted: ${bus.events}")
+    bus.flushAndClose(10000)
+  }
+
+  test("Kinesis binding wires config up to the connector boundary") {
+    // no Kinesis endpoint or connector jar offline: the binding must
+    // construct, apply its options, and fail exactly at connector lookup
+    val cfg = BusConfig.fromEnv(Map("BUFFER_SIZE" -> "123"))
+    val srcK = KinesisAdapters.source("events", "us-east-1", cfg)
+    val err = intercept[Exception](srcK.stream(spark))
+    assert(err.getMessage.toLowerCase.contains("kinesis"),
+      s"must fail at connector lookup, not before: ${err.getMessage}")
   }
 
   test("BusConfig wires mock mode, fail dest and flush timeout (A19)") {
