@@ -8,20 +8,11 @@ package graft
   */
 class DeterminismSpec extends SparkSpec {
 
-  private val sample = Seq(
-    "q_agg_group", "q_window_rank", "q_dedup_exact", "q_minhash_neardup",
-    "q_range_join", "q_left_join", "q_sim_cosine_topk", "q_explode_tokens",
-    "q_dedup_docs_exact", "stream_bus_e2e", "q_window_dist", "q_top_bigrams",
-    "q_pipeline_clean",
-    // round-3 additions with partition-sensitive shapes: iterative CC,
-    // sketch rollup, two-phase salted agg, TF-IDF join+window, exact
-    // moments, gaps-and-islands, bucket-expansion levenshtein
-    "q_dedup_clusters", "q_salted_agg", "q_tfidf", "q_exact_moments",
-    "q_session_gaps", "q_edit_distance", "q_window_range_frame",
-    "q_date_spine", "q_sim_cosine_ivf", "q_hll_union", "q_media_audio",
-    "q_array_hof")
-
-  sample.foreach { name =>
+  // The FULL declared inventory (was a 25-query sample through round 3):
+  // every key must hold, including the approximate sketches — HLL register
+  // merge is element-wise max (order-free) and the declared percentile
+  // outputs are stable on this data across partition layouts.
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name is identical under shuffle.partitions 3 and 13") {
       def runWith(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
