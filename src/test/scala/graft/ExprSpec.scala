@@ -30,6 +30,40 @@ class ExprSpec extends SparkSpec {
     else (0 to n - ww).map(off => hashOf(off, ww)).min
   }
 
+  test("LshSignatures equals the composed hyperplaneBit formulation on fixture embeddings") {
+    import graft.functions.VectorFunctions
+    val nBits = 4; val nTables = 16
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val composed = emb.select(col("vec_id"), array((0 until nTables).map { t =>
+      (0 until nBits).map(b =>
+        VectorFunctions.hyperplaneBit(col("embedding"), t * nBits + b) * (1L << b))
+        .reduce(_ + _)
+    }: _*).as("sig"))
+    val native = emb.select(col("vec_id"),
+      graft.expr.LshSignatures(col("embedding"), nBits, nTables).as("sig"))
+    val diff = native.as("n").join(composed.as("c"), "vec_id")
+      .filter(col("n.sig") =!= col("c.sig")).count()
+    assert(diff == 0, "every vector must bucket identically in both formulations")
+  }
+
+  test("LshSignatures compiles under CODEGEN_ONLY and fails loudly on over-long vectors") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ok = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("v")
+        .select(graft.expr.LshSignatures(col("v"), 4, 2)).as[Seq[Long]].head()
+      assert(ok.length == 2 && ok.forall(b => b >= 0 && b < 16))
+      val err = intercept[Exception](
+        Seq(Tuple1(Array.fill(65)(1.0f))).toDF("v")
+          .select(graft.expr.LshSignatures(col("v"), 4, 2)).collect())
+      assert(err.getMessage.contains("exceeds plane dim") ||
+        err.getCause != null && err.getCause.getMessage.contains("exceeds plane dim"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("RollingMinHash equals the naive reference on fixture documents") {
     val docs = graft.ops.tbl(spark, sfDir, "documents")
       .select(col("text"), RollingMinHash(col("text"), 16).as("h"))
