@@ -68,6 +68,93 @@ object Pipeline {
       (s, d) =>
         langStats(nearDupRemoval(s, exactDedup(qualityGate(tbl(s, d, "documents"))))),
       None
+    ),
+    Q(
+      // Deterministic train/val/test split assignment — reproducible
+      // splits are data versioning's bedrock: the SAME doc lands in the
+      // SAME split on any cluster, any partitioning, any day. Bucket =
+      // Knuth multiplicative hash of the stable key mod 100 (exact integer
+      // ops, so the oracle replicates it verbatim; a production pipeline
+      // with no cross-engine-oracle constraint would use xxhash64(key) the
+      // same way). 80/10/10 by bucket threshold.
+      "q_split_assign",
+      (s, d) => {
+        val bucket = (col("doc_id") * lit(2654435761L)) % 4294967296L % 100
+        tbl(s, d, "documents")
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("doc_cnt"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy(asc_nulls_first("split"))
+      },
+      Some("""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM (SELECT n_chars, doc_id * 2654435761 % 4294967296 % 100 AS b
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY split ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Context-window packing (concat-chunk): concatenate each language's
+      // token stream in doc_id order and cut every `budget` tokens — the
+      // packing strategy LLM training uses to fill fixed-size contexts.
+      // Each doc reports the pack its FIRST token lands in: pack_id =
+      // (running_total − own_tokens) / budget. One window scan per
+      // language partition (running sums parallelize per lang at corpus
+      // scale; there is no sequential driver loop), then a keyed census.
+      "q_pack_contexts",
+      (s, d) => {
+        val budget = 512L
+        val w = Window.partitionBy("lang")
+          .orderBy(asc_nulls_first("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("pack_id", floor(col("start_tok") / budget))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(asc_nulls_first("lang"), asc_nulls_first("pack_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |  FROM t)
+             |SELECT lang, start_tok // 512 AS pack_id, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc
+             |FROM r GROUP BY 1, 2
+             |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Source-mix quota plan: per-source doc counts → per-source sampling
+      // rate against a uniform cap (the knob a corpus curator turns to
+      // rebalance over-represented sources). Exact-integer counts; the
+      // rate is ONE final IEEE division, bit-identical across engines.
+      "q_source_mix",
+      (s, d) => {
+        val cap = 120L
+        tbl(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("doc_cnt"))
+          .withColumn("kept", least(col("doc_cnt"), lit(cap)))
+          .withColumn("sample_rate",
+            least(col("doc_cnt"), lit(cap)).cast("double") / col("doc_cnt"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS doc_cnt,
+             |  LEAST(COUNT(*), 120) AS kept,
+             |  CAST(LEAST(COUNT(*), 120) AS DOUBLE) / COUNT(*) AS sample_rate
+             |FROM documents GROUP BY source
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 }
