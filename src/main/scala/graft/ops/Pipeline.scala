@@ -100,19 +100,38 @@ object Pipeline {
       // token stream in doc_id order and cut every `budget` tokens — the
       // packing strategy LLM training uses to fill fixed-size contexts.
       // Each doc reports the pack its FIRST token lands in: pack_id =
-      // (running_total − own_tokens) / budget. One window scan per
-      // language partition (running sums parallelize per lang at corpus
-      // scale; there is no sequential driver loop), then a keyed census.
+      // (running_total − own_tokens) / budget.
+      //
+      // The running total is a TWO-LEVEL distributed prefix sum, not a
+      // per-lang window: `Window.partitionBy(lang)` puts each language's
+      // whole stream in ONE task — a handful of languages = a handful of
+      // tasks at 100 TB. Instead: doc_id-range buckets scan in parallel
+      // (inner window over (lang, bucket)), bucket totals prefix-sum on a
+      // frame 1000× smaller (recurse again at extreme scale), and a
+      // broadcast join adds each bucket's offset back. Same exact integer
+      // arithmetic, so the DuckDB oracle keeps the simple one-window form.
       "q_pack_contexts",
       (s, d) => {
         val budget = 512L
-        val w = Window.partitionBy("lang")
-          .orderBy(asc_nulls_first("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tbl(s, d, "documents")
+        val bucketW = 1000L // docs per scan bucket
+        val base = tbl(s, d, "documents")
           .select(col("lang"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bkt", floor(col("doc_id") / bucketW))
+        val wIn = Window.partitionBy("lang", "bkt")
+          .orderBy(asc_nulls_first("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy("lang")
+          .orderBy(asc_nulls_first("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base.groupBy("lang", "bkt")
+          .agg(sum(col("n_tokens")).as("bkt_sum"))
+          .withColumn("offset", coalesce(sum(col("bkt_sum")).over(wOff), lit(0L)))
+          .select("lang", "bkt", "offset")
+        base
+          .withColumn("run_in", sum(col("n_tokens")).over(wIn))
+          .join(broadcast(offsets), Seq("lang", "bkt"))
+          .withColumn("start_tok", col("offset") + col("run_in") - col("n_tokens"))
           .withColumn("pack_id", floor(col("start_tok") / budget))
           .groupBy("lang", "pack_id")
           .agg(count(lit(1)).as("n_docs"),
