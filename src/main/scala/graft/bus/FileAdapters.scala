@@ -137,6 +137,20 @@ final class TableReplaySource(
   }
 }
 
+/** Streaming source over a directory of ORC files with the same
+  * (id, data, ts) message schema — the second columnar binding (ORC ships
+  * in Spark like parquet; raw-byte payloads carry natively). Same
+  * checkpointed file tracking as ParquetDirSource.
+  */
+final class OrcDirSource(dir: String, maxFilesPerTrigger: Int = 10)
+    extends BusSource {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(FileAdapters.msgSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .orc(dir)
+}
+
 /** Streaming source over a directory of headerless CSV files with columns
   * (id, data_b64, ts) — base64 payloads, like JsonDirSource (CSV cannot
   * carry raw bytes either). Same checkpointed file tracking.

@@ -48,6 +48,26 @@ class FileAdapterSpec extends SparkSpec {
     assert(bus.stats.snapshot("rcv") == 3 && bus.stats.snapshot("failsink") == 1)
   }
 
+  test("ORC dir source streams messages with native byte payloads") {
+    val inDir = Files.createTempDirectory("bus_orc").toString
+    Seq(Msg.utf8("1", "abc", new Timestamp(1000)),
+      Msg.utf8("2", "DEF", new Timestamp(2000)))
+      .toDS().write.mode("overwrite").orc(inDir)
+    val sink = new MemorySink
+    val bus = new FrizzleStream(
+      spark, new OrcDirSource(inDir),
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string").rlike("^[a-z]+$"), "lower"),
+        failed = lit(false)),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("bus_orc_ck").toString))
+      .start()
+    bus.awaitIdle()
+    bus.flushAndClose(15000)
+    assert(sink.sent("lower").map(_.dataUtf8) == Seq("abc"))
+    assert(bus.stats.snapshot("rcv") == 2 && bus.stats.snapshot("send") == 1)
+  }
+
   test("parquet sink replays are idempotent (epoch path rewrite)") {
     val dir = Files.createTempDirectory("pq_idem").toString + "/out"
     val sink = new ParquetDirSink(dir)
