@@ -71,12 +71,15 @@ object Dedup {
   }
 
   /** Cluster near-dup candidate pairs into groups (connected components)
-    * by iterative min-label propagation: every node starts as its own
-    * label; each round, a node adopts the minimum label in its
-    * neighborhood; converges in O(diameter) rounds. Rounds are whole-graph
-    * joins — distributed, no driver-side graph. Near-dup graphs are
-    * micro-clusters (diameter ~2-3), so the loop is short; the driver only
-    * checks the convergence count, never the data.
+    * by iterative min-label propagation WITH pointer jumping: each round a
+    * node adopts the minimum label in its neighborhood (one-hop
+    * propagation), then shortcuts to its label's label (label ← label(
+    * label) — halving every label-chain), so convergence is O(log
+    * diameter) rounds, not O(diameter). Near-dup graphs are usually
+    * micro-clusters, but one viral template chained through a corpus can
+    * build a LONG path — the log bound is what keeps the round count sane
+    * there. Rounds are whole-graph joins — distributed, no driver-side
+    * graph; the driver only checks an O(1)-row convergence aggregate.
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
       maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
@@ -100,10 +103,17 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIter) {
       // min label over self + neighbors (self-loop covers the node itself)
-      val next = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("label"))
+      // pointer jump: label ← label(label). Labels only decrease, so the
+      // fixed point is unchanged; chains halve every round (O(log d)).
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(eager = false) // truncate the iterative lineage
       // coalesce: sum over an EMPTY labels frame (no candidate pairs at all)
       // is null — an empty graph is trivially converged, not an NPE

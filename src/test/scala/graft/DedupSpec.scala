@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(99L), "isolated nodes are not in the edge set")
   }
 
+  test("connectedComponents converges in O(log diameter) rounds (pointer jumping)") {
+    // a 64-node path: pure one-hop propagation needs 63 rounds, pointer
+    // jumping needs ~log2(64)+slack — maxIter=12 only passes with jumps
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = graft.ops.Dedup.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 64 && cc.values.forall(_ == 0L),
+      "the whole chain must collapse to label 0 within 12 rounds")
+  }
+
   test("q_dedup_clusters sizes are consistent with pair counts") {
     // on the fixture: every cluster has >= 2 docs, keep_id is the min
     val rows = query("q_dedup_clusters")
