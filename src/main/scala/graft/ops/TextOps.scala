@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Token-set Jaccard pairs (J > minSim10/10, a_id < b_id) over a
-    * (doc_id, text) frame via inverted-index equi-join on token.
+  /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
+    * (doc_id, token) frame via inverted-index equi-join on token — the
+    * token can be a word, an n-gram shingle, or any fingerprint unit.
     *
     * The inverted-index join's cost is Σ(bucket²) over tokens — a stopword
     * at corpus scale is a skew bomb (one token in 10% of a 10B-doc corpus
@@ -29,11 +30,9 @@ object TextOps {
     * broadcasts and the removal join is map-side; the only added shuffle is
     * one groupBy(token) document-frequency count.
     */
-  def jaccardPairs(docs: org.apache.spark.sql.DataFrame,
+  def jaccardPairs(tokens: org.apache.spark.sql.DataFrame,
       dfCeiling: Long, minSim10: Int = 6): org.apache.spark.sql.DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
+    val sh0 = tokens.select("doc_id", "token").distinct()
     val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCeiling).select("token")
     val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
@@ -150,7 +149,9 @@ object TextOps {
         // declared so the skew guard is part of the audited plan; the
         // ceiling actually firing is exercised on a planted-stopword
         // fixture in ScaleSpec.
-        jaccardPairs(tbl(s, d, "documents").filter(col("doc_id") < 50),
+        jaccardPairs(
+            tbl(s, d, "documents").filter(col("doc_id") < 50)
+              .select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
             dfCeiling = 48)
           .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
       },
@@ -162,6 +163,51 @@ object TextOps {
              |  SELECT doc_id, token FROM sh0
              |  WHERE token NOT IN (
              |    SELECT token FROM sh0 GROUP BY token HAVING COUNT(*) > 48)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt
+             |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id, inter_cnt,
+             |  CAST(sa.sz + sb.sz - inter_cnt AS BIGINT) AS union_cnt
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = a_id
+             |JOIN sizes sb ON sb.doc_id = b_id
+             |WHERE inter_cnt * 10 > (sa.sz + sb.sz - inter_cnt) * 6
+             |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // N-GRAM (3-token shingle) set-Jaccard near-dup pairs over the WHOLE
+      // corpus — the order-sensitive dedup tier between token-set Jaccard
+      // (q_jaccard_pairs: word sets, order-blind) and MinHash-LSH
+      // (q_minhash_neardup: the same shingles, sketched). Shingle sets are
+      // selective enough that the full inverted-index join stays bounded
+      // with no probe filter (max shingle DF 25 at sf0.1, measured);
+      // dfCeiling 1000 is the same skew guard as q_jaccard_pairs, a no-op
+      // on this fixture. Docs shorter than 3 tokens contribute one
+      // whole-doc shingle (mirrored in the oracle's CASE).
+      "q_jaccard_shingles",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val sh = transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(3))))
+        jaccardPairs(
+            tbl(s, d, "documents")
+              .select(col("doc_id"), explode(sh).as("token")),
+            dfCeiling = 1000)
+          .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh0 AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |sh AS (
+             |  SELECT doc_id, token FROM sh0
+             |  WHERE token NOT IN (
+             |    SELECT token FROM sh0 GROUP BY token HAVING COUNT(*) > 1000)),
              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
              |inter AS (
              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt

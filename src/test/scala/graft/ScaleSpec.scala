@@ -55,7 +55,9 @@ class ScaleSpec extends SparkSpec {
       (i.toLong, s"zzz alpha$base beta$base gamma$base kappa$base $last")
     }.toDF("doc_id", "text")
     val ceiling = 10L
-    val got = graft.ops.TextOps.jaccardPairs(docs, dfCeiling = ceiling)
+    val got = graft.ops.TextOps.jaccardPairs(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")),
+        dfCeiling = ceiling)
       .select("a_id", "b_id", "inter_cnt", "union_cnt")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
