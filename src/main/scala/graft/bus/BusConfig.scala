@@ -10,7 +10,8 @@ final case class BusConfig(
     failDest: String = "failed", // dead-letter destination name
     flushTimeoutMs: Long = 30000L, // graceful-drain budget (reference 30 s)
     mock: Boolean = false, // MOCK=true → no-op sink (A19)
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    rateLogIntervalMs: Long = 30000L) // A13 rate-report cadence (reference ReportInterval)
 
 object BusConfig {
   /** Read the reference-documented environment variables. */
@@ -20,5 +21,7 @@ object BusConfig {
       failDest = env.getOrElse("FAIL_DEST", "failed"),
       flushTimeoutMs = env.get("FLUSH_TIMEOUT_MS").map(_.toLong).getOrElse(30000L),
       mock = env.get("MOCK").exists(_.equalsIgnoreCase("true")),
-      checkpointDir = env.get("CHECKPOINT_DIR"))
+      checkpointDir = env.get("CHECKPOINT_DIR"),
+      rateLogIntervalMs =
+        env.get("RATE_LOG_INTERVAL_MS").map(_.toLong).getOrElse(30000L))
 }

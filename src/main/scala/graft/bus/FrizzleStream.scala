@@ -270,7 +270,8 @@ object FrizzleStream {
       sendTransforms = sendTransforms,
       checkpointDir = cfg.checkpointDir,
       triggerIntervalMs = triggerIntervalMs,
-      defaultFlushTimeoutMs = cfg.flushTimeoutMs)
+      defaultFlushTimeoutMs = cfg.flushTimeoutMs,
+      rateLogIntervalMs = cfg.rateLogIntervalMs)
 }
 
 // A18 bus chaining lives in FileAdapters.chainSource + ParquetDirSink: the

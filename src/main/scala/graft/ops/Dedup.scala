@@ -90,6 +90,10 @@ object Dedup {
     // previous labels).
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      // public API: callers may pass non-distinct pairs; duplicate edges
+      // would multiply EVERY round's join cost (min is idempotent, so only
+      // cost, not correctness, is at stake) — dedup once up front
+      .distinct()
     val edges = sym
       .unionByName(sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint(eager = false) // reused every iteration

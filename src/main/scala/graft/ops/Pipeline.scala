@@ -76,10 +76,12 @@ object Pipeline {
       // Knuth multiplicative hash of the stable key mod 100 (exact integer
       // ops, so the oracle replicates it verbatim; a production pipeline
       // with no cross-engine-oracle constraint would use xxhash64(key) the
-      // same way). 80/10/10 by bucket threshold.
+      // same way). 80/10/10 by bucket threshold. The key is reduced mod a
+      // prime BEFORE the multiply so the product stays ≤ ~2.7e15 — no
+      // Long overflow (ANSI throw / DuckDB error) for any 64-bit doc_id.
       "q_split_assign",
       (s, d) => {
-        val bucket = (col("doc_id") * lit(2654435761L)) % 4294967296L % 100
+        val bucket = (col("doc_id") % 1000003L) * lit(2654435761L) % 4294967296L % 100
         tbl(s, d, "documents")
           .withColumn("split",
             when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -91,7 +93,7 @@ object Pipeline {
       Some("""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
              |            ELSE 'test' END AS split,
              |  COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM (SELECT n_chars, doc_id * 2654435761 % 4294967296 % 100 AS b
+             |FROM (SELECT n_chars, doc_id % 1000003 * 2654435761 % 4294967296 % 100 AS b
              |      FROM documents)
              |GROUP BY 1 ORDER BY split ASC NULLS FIRST""".stripMargin)
     ),
@@ -165,8 +167,7 @@ object Pipeline {
           .groupBy("source")
           .agg(count(lit(1)).as("doc_cnt"))
           .withColumn("kept", least(col("doc_cnt"), lit(cap)))
-          .withColumn("sample_rate",
-            least(col("doc_cnt"), lit(cap)).cast("double") / col("doc_cnt"))
+          .withColumn("sample_rate", col("kept").cast("double") / col("doc_cnt"))
           .orderBy(asc_nulls_first("source"))
       },
       Some("""SELECT source, COUNT(*) AS doc_cnt,

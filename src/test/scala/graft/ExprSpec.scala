@@ -49,6 +49,11 @@ class ExprSpec extends SparkSpec {
   test("LshSignatures compiles under CODEGEN_ONLY and fails loudly on over-long vectors") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // Without this, ConvertToLocalRelation folds the Project over the local
+    // Seq relation with a hardcoded InterpretedMutableProjection and the
+    // test never exercises doGenCode at all.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try {
       val ok = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("v")
         .select(graft.expr.LshSignatures(col("v"), 4, 2)).as[Seq[Long]].head()
@@ -61,6 +66,7 @@ class ExprSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 
@@ -84,6 +90,10 @@ class ExprSpec extends SparkSpec {
   test("RollingMinHash compiles under CODEGEN_ONLY") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // keep the Project unfolded so doGenCode actually runs (see the
+    // LshSignatures codegen test)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try {
       val h = Seq("hello rolling world of fingerprints").toDF("t")
         .select(RollingMinHash(col("t"), 8)).as[Long].head()
@@ -91,6 +101,7 @@ class ExprSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 

@@ -47,6 +47,10 @@ class SimilaritySpec extends SparkSpec {
   test("VectorDot doGenCode compiles under CODEGEN_ONLY (no interpreter fallback)") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // keep the Project unfolded so doGenCode actually runs (see the
+    // LshSignatures codegen test in ExprSpec)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
     try {
       val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
       val v = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
@@ -54,6 +58,7 @@ class SimilaritySpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 
