@@ -36,14 +36,21 @@ object TextOps {
     val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCeiling).select("token")
     val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
+    // Carry each doc's set size on its index rows: (1) the standard
+    // length filter prunes size-incompatible pairs AT THE JOIN — J ≥ t
+    // forces t·|B| ≤ |A| (for |A| ≤ |B|), so most random pairs never
+    // reach the intersection-count shuffle; (2) sizes ride through the
+    // groupBy keys, deleting the two post-aggregation size joins the
+    // previous formulation needed. +8 bytes per index row on the wire.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val idx = sh.join(sizes, "doc_id")
+    idx.as("a").join(idx.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id")
+          && col("a.sz") * 10 >= col("b.sz") * minSim10
+          && col("b.sz") * 10 >= col("a.sz") * minSim10)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
       .agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
       .withColumn("union_cnt", (col("a_sz") + col("b_sz") - col("inter_cnt")).cast("long"))
       .filter(col("inter_cnt") * 10 > col("union_cnt") * minSim10)
       .select("a_id", "b_id", "inter_cnt", "union_cnt")
