@@ -12,7 +12,8 @@ import graft.ops.{Dedup, Scale}
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
   *   read → quality gate → exact dedup → MinHash-LSH near-dup removal →
-  *   deterministic sample → lang-partitioned parquet write
+  *   deterministic sample → train/val/test split → (split, lang)-
+  *   partitioned parquet write
   *
   * Every stage is a narrow filter, keyed window or bucketed join; the
   * output layout partition-prunes downstream reads. Run:
@@ -46,8 +47,14 @@ object TrainingPipelineExample {
     // 4. deterministic 50% sample: content-hash threshold (replay-stable)
     val sampled = Scale.hashSample(neardup, 0.5, Seq("text"))
 
-    // 5. partitioned write: downstream per-lang reads prune directories
-    Scale.partitionedWrite(sampled, outDir, Seq("lang"))
+    // 5. reproducible train/val/test split (same doc → same split, any
+    //    cluster/partitioning — see q_split_assign)
+    val bucket = (col("doc_id") % 1000003L) * lit(2654435761L) % 4294967296L % 100
+    val assigned = sampled.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+
+    // 6. partitioned write: downstream per-split/per-lang reads prune dirs
+    Scale.partitionedWrite(assigned, outDir, Seq("split", "lang"))
 
     val counts = Seq(
       "raw" -> raw.count(), "quality" -> quality.count(),
@@ -55,7 +62,9 @@ object TrainingPipelineExample {
       "sampled" -> sampled.count(),
       "written" -> spark.read.parquet(outDir).count())
     counts.foreach { case (stage, n) => println(f"$stage%-16s $n%6d docs") }
-    println(s"corpus written to $outDir (partitioned by lang)")
+    assigned.groupBy("split").count().orderBy("split").collect()
+      .foreach(r => println(f"  split ${r.getString(0)}%-6s ${r.getLong(1)}%6d docs"))
+    println(s"corpus written to $outDir (partitioned by split, lang)")
     spark.stop()
   }
 }
