@@ -35,26 +35,33 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(3))))
   }
 
-  /** Banded MinHash-LSH candidate pairs (a_id < b_id) over any
-    * (doc_id, text) frame. Formulated as explode → 32 MIN aggregates: each
-    * shingle is hashed once per h in a single codegen span, and the mins
-    * combine map-side, so the shuffle carries 32 longs per document — the
-    * 100 TB-safe shape (a per-row 32-pass array-lambda chain re-scans every
-    * shingle 32× and was measured 4× slower). Reused by Pipeline.
+  /** Per-document MinHash signature (NumHashes longs) over a
+    * (doc_id, text) frame. Each shingle's STRING is hashed once; the k
+    * minhash functions then re-hash the resulting 8-byte value with k
+    * seeds (fixed-width long hashing — no re-scan of the shingle text per
+    * function, and no overflow under ANSI arithmetic, unlike h1 + i·h2
+    * double hashing). For ~25-byte shingles this cuts the hash work in the
+    * hot scan by ~10×. The component-match fraction of two signatures is
+    * an unbiased estimator of shingle-set Jaccard (σ = √(J(1−J)/k) —
+    * property-tested against exact Jaccard in DedupSpec).
     */
-  def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // Hash each shingle's STRING once; the k minhash functions then re-hash
-    // the resulting 8-byte value with k seeds (fixed-width long hashing —
-    // no re-scan of the shingle text per function, and no overflow under
-    // ANSI arithmetic, unlike h1 + i·h2 double hashing). For ~25-byte
-    // shingles this cuts the hash work in the hot scan by ~10×.
-    val sigs = docs
+  def minhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
       .groupBy("doc_id")
       .agg(array((0 until NumHashes).map { h =>
         min(xxhash64(lit(h), col("h1")))
       }: _*).as("sig"))
+
+  /** Banded MinHash-LSH candidate pairs (a_id < b_id) over any
+    * (doc_id, text) frame. Formulated as explode → 32 MIN aggregates: the
+    * mins combine map-side, so the shuffle carries 32 longs per document —
+    * the 100 TB-safe shape (a per-row 32-pass array-lambda chain re-scans
+    * every shingle 32× and was measured 4× slower). Reused by Pipeline.
+    */
+  def minhashPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs = minhashSignatures(docs)
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until NumHashes / BandSize).map { b =>
         struct(lit(b).as("band"),

@@ -37,6 +37,30 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(99L), "isolated nodes are not in the edge set")
   }
 
+  test("minhash signature match-fraction estimates exact shingle Jaccard") {
+    // the sketch the LSH tier is built on must actually estimate Jaccard:
+    // Ĵ = matches/32, σ = √(J(1−J)/32) ≤ 0.09 — bound each pair at ~4σ
+    // and the mean error tighter. Ground truth = driver-side shingle sets.
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val sigs = graft.ops.Dedup.minhashSignatures(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val texts = docs.as[(Long, String)].collect().toMap
+    val errs = for {
+      a <- texts.keys.toSeq.sorted; b <- texts.keys.toSeq.sorted if a < b
+      sa = shingleSet(texts(a)); sb = shingleSet(texts(b))
+      exact = (sa & sb).size.toDouble / (sa | sb).size
+      est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 32.0
+    } yield math.abs(est - exact)
+    assert(errs.max <= 0.38, s"worst-pair estimation error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.05, s"mean estimation error ${errs.sum / errs.size}")
+  }
+
   test("connectedComponents converges in O(log diameter) rounds (pointer jumping)") {
     // a 64-node path: pure one-hop propagation needs 63 rounds, pointer
     // jumping needs ~log2(64)+slack — maxIter=12 only passes with jumps
