@@ -70,6 +70,24 @@ class PlanAuditSpec extends SparkSpec
       s"scan must read only the projected 5 columns: $readSchema")
   }
 
+  // Column pruning on the documents scan for the round-4 curation ops: a
+  // split assignment that drags `text` (or a mix report that drags
+  // anything beyond `source`) re-reads the corpus' heaviest column for no
+  // reason — at 100 TB that is the difference between a metadata-ish pass
+  // and a full-corpus read.
+  Seq(
+    ("q_split_assign", Seq("doc_id", "n_chars"), Seq("text", "source")),
+    ("q_pack_contexts", Seq("lang", "doc_id", "text"), Seq("source", "n_chars")),
+    ("q_source_mix", Seq("source"), Seq("text", "doc_id", "n_chars"))
+  ).foreach { case (name, required, forbidden) =>
+    test(s"$name prunes the documents scan to ${required.mkString("/")}") {
+      val readSchema = scanMeta(name, "ReadSchema")
+      assert(required.forall(readSchema.contains) &&
+        forbidden.forall(c => !readSchema.contains(c)),
+        s"$name must read only ${required.mkString(",")}: $readSchema")
+    }
+  }
+
   test("q_broadcast_join broadcasts both dimensions, never shuffles the fact") {
     val plan = query("q_broadcast_join").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast-hash-join")
