@@ -22,14 +22,17 @@ object FileAdapters {
 
   /** dest is interpolated into filesystem paths at BOTH ends of the
     * store-backed chain: reject anything that could escape the spool
-    * ('/', '..') or corrupt the dest=<v>/ partition layout ('=', '%',
-    * space, NUL — the chars Spark's partitioning escapes). Destinations
-    * are topic names; a name needing escaping is a config error, not a
-    * value to quietly mangle.
+    * ('/', '..'), corrupt the dest=<v>/ partition layout ('=', '%',
+    * space, NUL — the chars Spark's partitioning escapes), or GLOB across
+    * sibling destinations on the read path ('*?[]{}' are Hadoop glob
+    * metacharacters: a dest like "logs{a,b}" would make chainSource
+    * silently ingest dest=logsa AND dest=logsb). Destinations are topic
+    * names; a name needing escaping is a config error, not a value to
+    * quietly mangle.
     */
   private[bus] def requireSafeDest(dest: String): Unit =
     require(dest.nonEmpty && !dest.contains('/') && !dest.contains('\\') &&
-      !dest.contains("..") && "=% \u0000".forall(c => !dest.contains(c)),
+      !dest.contains("..") && "=% \u0000*?[]{}".forall(c => !dest.contains(c)),
       s"illegal destination for path-partitioned spool: '$dest'")
 
   /** Streaming source over a parquet directory of (id, data, ts) rows.

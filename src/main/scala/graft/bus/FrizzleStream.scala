@@ -120,10 +120,12 @@ final class FrizzleStream(
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
       if (mine(e.id)) {
-        e.exception.foreach { ex =>
-          stats.error.incrementAndGet()
-          eventQueue.add(BusEvent("error", ex))
-        }
+        // event only, no counter: a batch failure already incremented
+        // stats.error synchronously in runBatch's catch, and a foreachBatch
+        // exception always terminates the query — counting here too would
+        // report error=2 for one failure (the reference's ctr.error is one
+        // per error occurrence)
+        e.exception.foreach(ex => eventQueue.add(BusEvent("error", ex)))
         eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
       }
     }

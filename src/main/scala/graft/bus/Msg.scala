@@ -18,10 +18,7 @@ object Msg {
     Msg(id, s.getBytes(StandardCharsets.UTF_8), ts)
 }
 
-/** Outcome of processing one message, produced by the app's processor:
-  * an optional destination (None = don't send) and a failure flag.
-  * Mirrors the reference app contract (Send / Ack / Fail verbs,
-  * /root/reference/frizzle.go:115-150) in a set-oriented form: Ack is
-  * implicit in epoch commit; Fail routes to the fail sink.
-  */
-final case class Routed(msg: Msg, dest: Option[String], failed: Boolean)
+// The per-message routing outcome (Send / Ack / Fail verbs,
+// /root/reference/frizzle.go:115-150) is expressed set-orientedly as the
+// processor's `dest`/`failed` columns (FrizzleStream.exprProcessor) — there
+// is deliberately no per-message Routed object on the data path.

@@ -2,11 +2,8 @@ package graft.examples
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
 import graft.Graft
-import graft.ops.{Dedup, Scale}
+import graft.ops.{Pipeline, Scale}
 
 /** End-to-end training-data curation pipeline, composed from the engine's
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
@@ -30,28 +27,24 @@ object TrainingPipelineExample {
 
     val raw = graft.ops.tbl(spark, sfDir, "documents")
 
+    // Stages 1-3 and 5 are Pipeline's OWN stage helpers — the example
+    // demonstrates exactly what the declared queries verify, not a copy.
+
     // 1. quality gate: bounded token count (narrow filter, no shuffle)
-    val quality = raw.filter(size(split(col("text"), " ")).between(20, 80))
+    val quality = Pipeline.qualityGate(raw)
 
     // 2. exact dedup: keep the lowest doc_id per identical text (keyed window)
-    val w = Window.partitionBy("text")
-    val exact = quality
-      .withColumn("__min", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("__min")).drop("__min")
+    val exact = Pipeline.exactDedup(quality)
 
     // 3. near-dup removal: drop the higher id of each MinHash-LSH pair
-    val drop = Dedup.minhashPairs(exact.select("doc_id", "text"))
-      .select(col("b_id").as("doc_id")).distinct()
-    val neardup = exact.join(drop, Seq("doc_id"), "left_anti")
+    val neardup = Pipeline.nearDupRemoval(exact)
 
     // 4. deterministic 50% sample: content-hash threshold (replay-stable)
     val sampled = Scale.hashSample(neardup, 0.5, Seq("text"))
 
     // 5. reproducible train/val/test split (same doc → same split, any
     //    cluster/partitioning — see q_split_assign)
-    val bucket = (col("doc_id") % 1000003L) * lit(2654435761L) % 4294967296L % 100
-    val assigned = sampled.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val assigned = Pipeline.splitAssign(sampled)
 
     // 6. partitioned write: downstream per-split/per-lang reads prune dirs
     Scale.partitionedWrite(assigned, outDir, Seq("split", "lang"))

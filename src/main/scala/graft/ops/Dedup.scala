@@ -27,8 +27,12 @@ object Dedup {
   private val NumHashes = 32
   private val BandSize = 4 // → 8 bands
 
-  /** 3-token shingle array of a text column. */
-  private def shingles(text: org.apache.spark.sql.Column) = {
+  /** 3-token shingle array of a text column (docs shorter than 3 tokens
+    * contribute one whole-doc shingle). Shared by the minhash sketch tier
+    * AND the exact tier (TextOps.q_jaccard_shingles) — one definition, so
+    * the cross-tier "same shingles" equivalence cannot drift.
+    */
+  private[ops] def shingles(text: org.apache.spark.sql.Column) = {
     val toks = split(text, " ")
     val n = size(toks)
     transform(sequence(lit(1), greatest(n - 2, lit(1))),
@@ -109,7 +113,12 @@ object Dedup {
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so sum(label) is strictly monotone until the fixed
     // point — an O(1)-row aggregate per round instead of a join+count.
-    var prevSum = Long.MaxValue
+    // Summed in DECIMAL(38,0): labels are raw 64-bit ids, and a Long sum
+    // overflows at ~1e9 large ids (ANSI throw mid-loop — or, with ANSI
+    // off, two different label states wrapping to equal sums would fake
+    // convergence and return WRONG clusters). 38 digits covers 10^19 ids
+    // of 10^19 each.
+    var prevSum: java.math.BigDecimal = null
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -127,8 +136,13 @@ object Dedup {
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(eager = false) // truncate the iterative lineage
       // coalesce: sum over an EMPTY labels frame (no candidate pairs at all)
-      // is null — an empty graph is trivially converged, not an NPE
-      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      // is null — an empty graph is trivially converged, not an NPE.
+      // Superseded rounds' checkpoint blocks are reclaimed by Spark's
+      // ContextCleaner once the old `labels` reference is dropped; the
+      // frames are node-count-sized (the near-dup graph, not the corpus),
+      // so in-flight storage is bounded by a couple of label copies.
+      val s = next.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -21,16 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def qualityGate(df: DataFrame): DataFrame = {
+  // Stage helpers are the single definition of each pipeline stage —
+  // public, so the runnable example (examples.TrainingPipelineExample)
+  // demonstrates the SAME stages the declared queries verify, not a copy.
+
+  def qualityGate(df: DataFrame): DataFrame = {
     val nTokens = size(split(col("text"), " "))
     df.filter(nTokens.between(20, 80))
   }
 
-  private def exactDedup(df: DataFrame): DataFrame = {
+  def exactDedup(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("text")
     df.withColumn("__min_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("__min_id"))
       .drop("__min_id")
+  }
+
+  /** Near-dup removal: drop the higher doc_id of every MinHash-LSH
+    * candidate pair (pair generation is Dedup.minhashPairs — one
+    * definition, one set of parameters).
+    */
+  def nearDupRemoval(df: DataFrame): DataFrame = {
+    val drop = Dedup.minhashPairs(df.select("doc_id", "text"))
+      .select(col("b_id").as("doc_id")).distinct()
+    df.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Reproducible 80/10/10 train/val/test assignment (see q_split_assign
+    * for the overflow-safe hash rationale).
+    */
+  def splitAssign(df: DataFrame): DataFrame = {
+    val bucket = (col("doc_id") % 1000003L) * lit(2654435761L) % 4294967296L % 100
+    df.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
   private def langStats(df: DataFrame): DataFrame =
@@ -38,16 +61,6 @@ object Pipeline {
       .agg(count(lit(1)).as("doc_cnt"),
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy(asc_nulls_first("lang"))
-
-  /** Near-dup removal: drop the higher doc_id of every MinHash-LSH
-    * candidate pair (computed on the post-dedup corpus; pair generation is
-    * Dedup.minhashPairs — one definition, one set of parameters).
-    */
-  private def nearDupRemoval(s: SparkSession, df: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashPairs(df.select("doc_id", "text"))
-    val drop = pairs.select(col("b_id").as("doc_id")).distinct()
-    df.join(drop, Seq("doc_id"), "left_anti")
-  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -66,7 +79,7 @@ object Pipeline {
     Q(
       "q_pipeline_full",
       (s, d) =>
-        langStats(nearDupRemoval(s, exactDedup(qualityGate(tbl(s, d, "documents"))))),
+        langStats(nearDupRemoval(exactDedup(qualityGate(tbl(s, d, "documents"))))),
       None
     ),
     Q(
@@ -81,10 +94,7 @@ object Pipeline {
       // Long overflow (ANSI throw / DuckDB error) for any 64-bit doc_id.
       "q_split_assign",
       (s, d) => {
-        val bucket = (col("doc_id") % 1000003L) * lit(2654435761L) % 4294967296L % 100
-        tbl(s, d, "documents")
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        splitAssign(tbl(s, d, "documents"))
           .groupBy("split")
           .agg(count(lit(1)).as("doc_cnt"),
             sum(col("n_chars")).cast("long").as("total_chars"))

@@ -243,6 +243,11 @@ object Relational {
             col("event_id"), lit(null).cast("long").as("o_orderkey"),
             lit(null).cast("timestamp").as("o_orderdate"))
         val o = tbl(s, d, "orders")
+          // a NULL-dated order has no position on the as-of axis: the
+          // oracle's o_orderdate <= e.ts never matches it, but NULLS FIRST
+          // would slot it before every event here — drop it explicitly so
+          // both engines agree even on dirty data
+          .filter(col("o_orderdate").isNotNull)
           .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
             lit(0).as("kind"), lit(null).cast("long").as("event_id"),
             col("o_orderkey"), col("o_orderdate"))

@@ -195,12 +195,11 @@ object TextOps {
       // whole-doc shingle (mirrored in the oracle's CASE).
       "q_jaccard_shingles",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val sh = transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(3))))
+        // Dedup.shingles: the SAME shingle definition the minhash sketch
+        // tier uses — the exact/sketch cross-tier equivalence depends on it
         jaccardPairs(
             tbl(s, d, "documents")
-              .select(col("doc_id"), explode(sh).as("token")),
+              .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("token")),
             dfCeiling = 1000)
           .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
       },

@@ -141,7 +141,10 @@ object Windows {
         // TIMESTAMP (identity under the UTC session TZ, matching DuckDB's
         // epoch() on naive timestamps)
         val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          // explicit null ordering per the package determinism rule (Spark
+          // defaults NULLS FIRST, DuckDB NULLS LAST — RANGE peer semantics
+          // mask the disagreement today, but never rely on a default)
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long").asc_nulls_first)
           .rangeBetween(-90L * 86400L, 0L)
         tbl(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
@@ -151,7 +154,7 @@ object Windows {
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
-             |    ORDER BY epoch(o_orderdate) ASC
+             |    ORDER BY epoch(o_orderdate) ASC NULLS FIRST
              |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_90d
              |FROM orders
              |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)
