@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses `runMain graft.Bench` stdout for ONE JSON
+// line. sbt's default LoggedOutput prefixes every forked-run line with
+// "[info] " and appends a "[success] Total time" line, both of which
+// defeat a last-line JSON parse (BENCH_r01–r04 all record parsed:null).
+// Pass run output through raw and suppress the success banner.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

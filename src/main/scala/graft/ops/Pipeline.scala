@@ -157,8 +157,8 @@ object Pipeline {
              |  FROM documents),
              |r AS (
              |  SELECT lang, doc_id, n_tokens,
-             |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
              |  FROM t)
              |SELECT lang, start_tok // 512 AS pack_id, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, MIN(doc_id) AS first_doc

@@ -62,8 +62,13 @@ def main(sf_dir: str, out_dir: str) -> None:
         bad = None
         for c in got.columns:
             g, w = got[c], want[c]
+            # int-vs-float across engines is a REAL failure: the driver
+            # hashes raw values, and 4.0 != 4 (caught live by r04's
+            # q_pack_contexts, where a DuckDB HUGEINT window sum came back
+            # float64). Only float-width and int-width diffs are benign.
             if g.dtype != w.dtype and not (
-                    g.dtype.kind in "if" and w.dtype.kind in "if"):
+                    (g.dtype.kind == "f" and w.dtype.kind == "f")
+                    or (g.dtype.kind in "iu" and w.dtype.kind in "iu")):
                 bad = f"dtype[{c}] spark={g.dtype} duck={w.dtype}"
                 break
             if g.dtype.kind == "O" and len(g) and isinstance(
