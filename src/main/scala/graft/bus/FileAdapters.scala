@@ -30,9 +30,12 @@ object FileAdapters {
     * names; a name needing escaping is a config error, not a value to
     * quietly mangle.
     */
+  private[bus] def isSafeDest(dest: String): Boolean =
+    dest.nonEmpty && !dest.contains('/') && !dest.contains('\\') &&
+      !dest.contains("..") && "=% \u0000*?[]{}".forall(c => !dest.contains(c))
+
   private[bus] def requireSafeDest(dest: String): Unit =
-    require(dest.nonEmpty && !dest.contains('/') && !dest.contains('\\') &&
-      !dest.contains("..") && "=% \u0000*?[]{}".forall(c => !dest.contains(c)),
+    require(isSafeDest(dest),
       s"illegal destination for path-partitioned spool: '$dest'")
 
   /** Streaming source over a parquet directory of (id, data, ts) rows.
@@ -40,9 +43,17 @@ object FileAdapters {
     * reference's BUFFER_SIZE, /root/reference/basic/source.go:13-17).
     */
   final class ParquetDirSource(dir: String, maxFilesPerTrigger: Int = 10,
-      recursive: Boolean = false)
+      recursive: Boolean = false, ensureDir: Boolean = false)
       extends BusSource {
-    def stream(spark: SparkSession): DataFrame =
+    def stream(spark: SparkSession): DataFrame = {
+      if (ensureDir) {
+        // Resolve through Hadoop's FileSystem, not java.io.File: the spool
+        // may live on any Spark-supported filesystem (hdfs://, s3a://…),
+        // where File would mangle the URI and mkdir a bogus local path.
+        // mkdirs is a no-op if the subtree already exists.
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      }
       spark.readStream
         .schema(msgSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -50,6 +61,7 @@ object FileAdapters {
         // stream of msg files, no partition-column inference
         .option("recursiveFileLookup", recursive.toString)
         .parquet(dir)
+    }
   }
 
   /** A18 bus chaining through the STORE, not the driver: the upstream bus
@@ -68,9 +80,14 @@ object FileAdapters {
     // same gate as the sink's writes: a dest the upstream would reject must
     // not silently become an empty (or spool-escaping) downstream stream
     requireSafeDest(dest)
-    val d = new java.io.File(s"$spoolDir/dest=$dest")
-    d.mkdirs() // the subtree may not exist until the upstream's first write
-    new ParquetDirSource(d.toString, maxFilesPerTrigger, recursive = true)
+    // Path(parent, child) keeps the scheme/authority of a remote spoolDir
+    // intact (s3a://bucket/spool + dest=x → s3a://bucket/spool/dest=x);
+    // creation is deferred to stream() where a SparkSession's Hadoop conf
+    // is available (the subtree may not exist until the upstream's first
+    // write).
+    val d = new org.apache.hadoop.fs.Path(spoolDir, s"dest=$dest")
+    new ParquetDirSource(d.toString, maxFilesPerTrigger,
+      recursive = true, ensureDir = true)
   }
 
   /** Config-driven construction: BUFFER_SIZE → maxFilesPerTrigger (the
@@ -90,6 +107,11 @@ object FileAdapters {
     * (/root/reference/basic/source.go:47-49).
     */
   final class ParquetDirSink(outDir: String) extends BusSink {
+    // The bus consults this before write and dead-letters rows whose
+    // data-computed dest the path layout cannot carry; the hard require in
+    // write() stays as the last line of defense for direct callers.
+    override def safeDest(dest: String): Boolean = isSafeDest(dest)
+
     def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
       requireSafeDest(dest)
       batch.toDF()

@@ -35,6 +35,15 @@ trait BusSource {
 trait BusSink {
   def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit
   def close(): Unit = ()
+
+  /** Whether this sink can address `dest` at all (e.g. a path-partitioned
+    * sink cannot address a dest containing glob metacharacters). The bus
+    * consults this BEFORE write: dest is a data-computed value, so an
+    * unaddressable dest must dead-letter the affected rows, not throw in
+    * the sink — a throw terminates the query and re-throws on every
+    * checkpoint replay of the epoch (a permanent poison pill).
+    */
+  def safeDest(dest: String): Boolean = true
 }
 
 /** In-memory source over MemoryStream, for tests and local pipelines.
