@@ -21,9 +21,16 @@ object Bench {
     // r03→r02 "regressions" on three agg queries were exactly this: map
     // iteration order shifted when keys were added, and the newly-early
     // queries absorbed the residual JIT; warm_min plan cost was flat).
+    // …plus the custom-expression and iterative-join shapes the generic
+    // warm-up misses: LshSignatures codegen (q_sim_cosine_lsh),
+    // RollingMinHash codegen (q_doc_fingerprint), and the looped
+    // join+agg+checkpoint shape (q_embed_clusters) — without these,
+    // q_embed_clusters bills ~12 s cold vs ~4 s warm plan cost and
+    // distorts the round-over-round signal by ~8 s.
     Seq("q_sort_limit", "q_agg_group", "q_agg_distinct", "q_window_rank",
         "q_broadcast_join", "q_case_null", "q_explode_tokens",
-        "q_json_extract").foreach { n =>
+        "q_json_extract", "q_sim_cosine_lsh", "q_doc_fingerprint",
+        "q_embed_clusters").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
@@ -41,16 +48,22 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal seconds: ms precision is below box noise, and the shorter
-    // line keeps the driver's log-tail window from truncating the JSON.
-    def r3(v: Double): String = f"$v%.3f"
+    // 3-decimal seconds via Locale.ROOT: ms precision is below box noise,
+    // and a locale-default format would emit comma decimals (invalid JSON)
+    // on e.g. a de_DE JVM.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Stop Spark BEFORE printing so no executor/shutdown log line can land
-    // after the JSON — the driver parses the LAST line of output.
+    // after the JSON — but never let a failing stop() eat the output.
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try spark.stop() catch { case _: Throwable => () }
+    // Full per-query map on its OWN line (~2.4 KB for 93 queries — bigger
+    // than the driver's 2,000-byte log-tail window, so it must not be last).
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // LAST line: compact total-only JSON, guaranteed to fit the tail window.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -26,13 +26,17 @@ object FileAdapters {
     * space, NUL — the chars Spark's partitioning escapes), or GLOB across
     * sibling destinations on the read path ('*?[]{}' are Hadoop glob
     * metacharacters: a dest like "logs{a,b}" would make chainSource
-    * silently ingest dest=logsa AND dest=logsb). Destinations are topic
+    * silently ingest dest=logsa AND dest=logsb), or derail Hadoop Path
+    * parsing (':' reads as a URI scheme separator and '#' as a fragment
+    * separator: new Path(spool, "dest=a:b") would throw an opaque
+    * IllegalArgumentException instead of this contract's clear require).
+    * Destinations are topic
     * names; a name needing escaping is a config error, not a value to
     * quietly mangle.
     */
   private[bus] def isSafeDest(dest: String): Boolean =
     dest.nonEmpty && !dest.contains('/') && !dest.contains('\\') &&
-      !dest.contains("..") && "=% \u0000*?[]{}".forall(c => !dest.contains(c))
+      !dest.contains("..") && "=% \u0000*?[]{}:#".forall(c => !dest.contains(c))
 
   private[bus] def requireSafeDest(dest: String): Unit =
     require(isSafeDest(dest),

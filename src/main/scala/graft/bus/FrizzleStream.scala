@@ -47,12 +47,16 @@ final case class BusEvent(level: String, message: String)
   *     to the fail sink (dead-letter) inside the same epoch.
   *   - Backpressure is trigger pacing (`maxPerTrigger`) instead of the
   *     reference's unbuffered channel handoff.
-  *   - Configuration is constructor-only, by design: the reference's
-  *     post-init AddOptions (/root/reference/frizzle.go:82-87) mutates a
-  *     running bus, which cannot be made consistent with a checkpointed
-  *     streaming query (transform chains are compiled into the plan).
-  *     Reconfigure = flushAndClose + construct anew; the checkpoint carries
-  *     the offsets across the restart.
+  *   - Configuration is settable up to start(), frozen after: the
+  *     reference's AddOptions (/root/reference/frizzle.go:82-87) mutates a
+  *     LIVE bus (including FailSink rewiring mid-run, options.go:35-41),
+  *     which cannot be made consistent with a checkpointed streaming query
+  *     (transform chains are compiled into the plan; a mid-epoch sink swap
+  *     would split one epoch's at-least-once guarantee across two sinks).
+  *     The AddOptions analog here is [[addReceiveTransforms]] /
+  *     [[addSendTransforms]] / [[withFailSink]] on a constructed-but-not-
+  *     started bus; live reconfigure = flushAndClose + construct anew; the
+  *     checkpoint carries the offsets across the restart.
   *
   * The processor is set-oriented: DataFrame(id,data,ts) → same columns plus
   * `dest` (string; null = don't send) and `failed` (boolean). A per-message
@@ -80,6 +84,44 @@ final class FrizzleStream(
   val stats = new BusStats
   private val eventQueue = new ConcurrentLinkedQueue[BusEvent]()
   @volatile private var query: StreamingQuery = _
+  // set when runBatch's catch already counted a failure synchronously, so
+  // onQueryTerminated can tell a batch error (already in ctr.error) from a
+  // terminal error that never reached runBatch (offset resolution,
+  // checkpoint corruption) — those must still count once (reference parity:
+  // one ctr.error per occurrence, /root/reference/options.go:95-99)
+  @volatile private var batchErrorCounted = false
+
+  // pre-start-mutable configuration (AddOptions parity; see class scaladoc)
+  private var failSinkV: Option[BusSink] = failSink
+  private var failDestV: String = failDest
+  private var receiveTransformsV: Seq[MsgTransform] = receiveTransforms
+  private var sendTransformsV: Seq[MsgTransform] = sendTransforms
+
+  private def preStart(mutate: => Unit): FrizzleStream = {
+    require(query == null,
+      "bus already started: configuration is frozen at start() (live " +
+        "rewiring cannot be epoch-consistent — flushAndClose and construct anew)")
+    mutate
+    this
+  }
+
+  /** AddOptions analog: append receive transforms before start()
+    * (frizzle.go:82-87 semantics, scoped to pre-start — see scaladoc). */
+  def addReceiveTransforms(ts: MsgTransform*): FrizzleStream =
+    preStart { receiveTransformsV = receiveTransformsV ++ ts }
+
+  /** AddOptions analog: append send transforms before start(). */
+  def addSendTransforms(ts: MsgTransform*): FrizzleStream =
+    preStart { sendTransformsV = sendTransformsV ++ ts }
+
+  /** AddOptions analog of FailSink rewiring (options.go:35-41,88-90),
+    * scoped to pre-start: attach/replace the dead-letter sink (and
+    * optionally its destination) on a constructed-but-not-started bus. */
+  def withFailSink(fs: BusSink, dest: Option[String] = None): FrizzleStream =
+    preStart {
+      failSinkV = Some(fs)
+      dest.foreach(failDestV = _)
+    }
 
   /** Events seen so far (A11 fan-in: listener events + routing errors). */
   def events: Seq[BusEvent] = eventQueue.asScala.toSeq
@@ -120,12 +162,16 @@ final class FrizzleStream(
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
       if (mine(e.id)) {
-        // event only, no counter: a batch failure already incremented
-        // stats.error synchronously in runBatch's catch, and a foreachBatch
-        // exception always terminates the query — counting here too would
-        // report error=2 for one failure (the reference's ctr.error is one
-        // per error occurrence)
-        e.exception.foreach(ex => eventQueue.add(BusEvent("error", ex)))
+        e.exception.foreach { ex =>
+          // A foreachBatch failure was already counted synchronously in
+          // runBatch's catch (counting again would report error=2 for one
+          // failure); a terminal error that never entered runBatch — source
+          // or offset resolution, checkpoint corruption — has not been
+          // counted anywhere yet, so count it here (the reference's
+          // ctr.error is one per occurrence, options.go:95-99).
+          if (!batchErrorCounted) stats.error.incrementAndGet()
+          eventQueue.add(BusEvent("error", ex))
+        }
         eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
       }
     }
@@ -134,7 +180,7 @@ final class FrizzleStream(
   /** Start the bus (A1/A2/A4): one streaming query per bus instance. */
   def start(): FrizzleStream = {
     spark.streams.addListener(listener)
-    val in = receiveTransforms.foldLeft(source.stream(spark))((df, t) => t.onReceive(df))
+    val in = receiveTransformsV.foldLeft(source.stream(spark))((df, t) => t.onReceive(df))
     // Trigger pacing is the batch-size/latency knob: 0 = as-fast-as-
     // possible micro-batches (lowest latency, per-epoch overhead dominates
     // at high rates); a longer interval amortizes the fixed per-epoch cost
@@ -171,32 +217,60 @@ final class FrizzleStream(
       val nSend = statRow.getLong(2)
       stats.rcv.addAndGet(total)
 
-      // A7 fail + dead-letter route
-      if (nFailed > 0) {
-        val failed = routed.filter(col("failed")).select("id", "data", "ts").as[Msg]
-        stats.fail.addAndGet(nFailed)
-        failSink.foreach { fs =>
-          fs.write(failed, failDest, batchId)
-          stats.failsink.addAndGet(nFailed)
+      // Destinations are topic names — a small bounded set by design, so
+      // collecting one micro-batch's per-dest counts is driver-safe at any
+      // data scale (one groupBy job yields the dest list AND the row counts
+      // the dead-letter accounting needs).
+      val sendable = routed.filter(!col("failed") && col("dest").isNotNull)
+      val destCounts = sendable.groupBy("dest").count().as[(String, Long)].collect()
+
+      // A4/A7 unaddressable-dest routing: dest is a data-computed value, so
+      // a dest the sink cannot address (sink.safeDest) must dead-letter the
+      // affected rows, NOT reach sink.write — a throw there terminates the
+      // query and replays on every checkpoint restart of the epoch (a
+      // permanent poison pill). The sink's own requireSafeDest stays as the
+      // last line of defense for direct callers.
+      val (safeDests, unsafeDests) = destCounts.partition { case (d, _) => sink.safeDest(d) }
+      val nUnsafe = unsafeDests.map(_._2).sum
+      if (nUnsafe > 0) {
+        eventQueue.add(BusEvent("error", s"batch $batchId: dead-lettered " +
+          s"$nUnsafe rows with unaddressable dest(s): " +
+          unsafeDests.map(_._1).mkString("'", "', '", "'")))
+      }
+
+      // A7 fail + dead-letter route: processor-marked fails AND
+      // unaddressable-dest rows, as ONE write per epoch — an idempotent
+      // fail sink dedups on (batchId, dest), so two separate writes to
+      // (batchId, failDest) would silently drop the second set.
+      val nDead = nFailed + nUnsafe
+      if (nDead > 0) {
+        val unsafeSet = unsafeDests.map(_._1).toSeq
+        val unsafeCond =
+          if (unsafeSet.isEmpty) lit(false)
+          else !col("failed") && col("dest").isin(unsafeSet: _*)
+        val dead = routed.filter(col("failed") || unsafeCond)
+          .select("id", "data", "ts").as[Msg]
+        stats.fail.addAndGet(nDead)
+        failSinkV.foreach { fs =>
+          fs.write(dead, failDestV, batchId)
+          stats.failsink.addAndGet(nDead)
         }
       }
 
-      // A4 send + send-transform chain, routed per destination. Destinations
-      // are topic names — a small bounded set by design, so collecting the
-      // distinct dests of one micro-batch is driver-safe at any data scale.
-      val sendable = routed.filter(!col("failed") && col("dest").isNotNull)
-      val dests = sendable.select("dest").distinct().as[String].collect()
-      dests.foreach { dest =>
+      // A4 send + send-transform chain, routed per (addressable) destination.
+      safeDests.foreach { case (dest, _) =>
         val out0 = sendable.filter(col("dest") === dest).select("id", "data", "ts")
-        val out = sendTransforms.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
+        val out = sendTransformsV.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
         sink.write(out, dest, batchId)
       }
-      stats.send.addAndGet(nSend)
+      stats.send.addAndGet(nSend - nUnsafe)
 
-      // A6 ack: everything in a committed epoch that wasn't failed.
-      stats.ack.addAndGet(total - nFailed)
+      // A6 ack: everything in a committed epoch that wasn't failed (or
+      // dead-lettered for an unaddressable dest).
+      stats.ack.addAndGet(total - nDead)
     } catch {
       case e: Throwable =>
+        batchErrorCounted = true
         stats.error.incrementAndGet()
         eventQueue.add(BusEvent("error", s"batch $batchId: ${e.getMessage}"))
         throw e
@@ -206,22 +280,37 @@ final class FrizzleStream(
   /** A15 drain + flush: stop admitting input, process everything available
     * within the timeout, then close in reference order (sink → source →
     * failSink; /root/reference/frizzle.go:155-209).
+    *
+    * Returns whether the drain COMPLETED. A16-close-refusal parity: the
+    * reference's Source.Close refuses while unacked msgs remain
+    * (ErrUnackedMsgsRemain, basic/source.go:108-117); a streaming query
+    * cannot refuse to stop (the checkpoint preserves the undrained offsets
+    * for the next start), so the refusal surfaces as `false` + an error
+    * BusEvent instead of silently closing as if drained.
     */
-  def flushAndClose(timeoutMs: Long = defaultFlushTimeoutMs): Unit = {
+  def flushAndClose(timeoutMs: Long = defaultFlushTimeoutMs): Boolean = {
     source.stop()
     val q = query
+    var drained = true
     if (q != null) {
       val drain = new Thread(() => q.processAllAvailable())
       drain.setDaemon(true)
       drain.start()
       drain.join(timeoutMs)
+      if (drain.isAlive) {
+        drained = false
+        eventQueue.add(BusEvent("error", s"drain timed out after ${timeoutMs} ms " +
+          "with messages still in flight (unacked msgs remain; they replay " +
+          "from the checkpoint on next start)"))
+      }
       q.stop()
       q.awaitTermination(timeoutMs)
     }
     sink.close()
     source.close()
-    failSink.foreach(_.close())
+    failSinkV.foreach(_.close())
     spark.streams.removeListener(listener)
+    drained
   }
 
   /** A17 signal-driven shutdown: drain gracefully on JVM exit. */

@@ -21,26 +21,48 @@ import org.apache.spark.sql.functions._
   */
 object KinesisAdapters {
 
+  /** The PINNED connector contract this binding targets: the open
+    * qubole/kinesis-sql connector lineage (`spark-sql-kinesis`, DataSource
+    * short name `kinesis`), whose option keys are `streamName` / `region` /
+    * `startingPosition` / `maxFetchRecordsPerShard` / `endpointUrl` and
+    * whose record schema exposes `partitionKey` / `data` /
+    * `approximateArrivalTimestamp`. Deployments must ship a fork of that
+    * lineage built for their Spark/Scala version (e.g. a
+    * `spark-sql-kinesis_2.13` artifact); a connector from a DIFFERENT
+    * lineage (different option keys or record schema) needs its own
+    * BusSource binding — this one would fail loudly at option/column
+    * resolution, never silently misread.
+    */
+  val connectorFormat: String = "kinesis"
+  val connectorLineage: String = "qubole/kinesis-sql (spark-sql-kinesis)"
+
   final class KinesisSource(
       streamName: String,
       region: String,
       maxFetchRecordsPerShard: Long = 10000L,
       startingPosition: String = "latest",
       endpointUrl: Option[String] = None) extends BusSource {
-    def stream(spark: SparkSession): DataFrame = {
-      var r = spark.readStream
-        .format("kinesis")
-        .option("streamName", streamName)
-        .option("region", region)
-        .option("startingPosition", startingPosition)
-        .option("maxFetchRecordsPerShard", maxFetchRecordsPerShard)
-      endpointUrl.foreach(u => r = r.option("endpointUrl", u))
-      r.load()
+
+    /** The exact option map handed to the pinned connector — exposed so the
+      * contract is offline-testable as data (the suite asserts this map,
+      * not just "fails mentioning kinesis").
+      */
+    def connectorOptions: Map[String, String] = Map(
+      "streamName" -> streamName,
+      "region" -> region,
+      "startingPosition" -> startingPosition,
+      "maxFetchRecordsPerShard" -> maxFetchRecordsPerShard.toString) ++
+      endpointUrl.map("endpointUrl" -> _)
+
+    def stream(spark: SparkSession): DataFrame =
+      spark.readStream
+        .format(connectorFormat)
+        .options(connectorOptions)
+        .load()
         .select(
           col("partitionKey").cast("string").as("id"),
           col("data").as("data"),
           col("approximateArrivalTimestamp").as("ts"))
-    }
   }
 
   /** Config-driven construction: BUFFER_SIZE → maxFetchRecordsPerShard (the

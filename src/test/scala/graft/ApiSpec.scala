@@ -44,6 +44,40 @@ class ApiSpec extends SparkSpec {
     assert(BusConfig.fromEnv(Map.empty) == BusConfig())
   }
 
+  test("pre-start AddOptions: transforms and fail sink attach before start, freeze after") {
+    // the reference's AddOptions applies options to a constructed bus
+    // (frizzle.go:82-87, incl. FailSink rewiring options.go:35-41); here
+    // that surface is scoped to PRE-start — a checkpointed streaming query
+    // cannot rewire mid-epoch (see FrizzleStream scaladoc)
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val dlq = new MemorySink
+    val bus = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string") =!= "fail", "out"),
+        failed = col("data").cast("string") === "fail"),
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("addopt_ck").toString))
+    bus.withFailSink(dlq, Some("dead"))
+      .addReceiveTransforms(SeparatorTransform.utf8("\n"))
+      .addSendTransforms(SeparatorTransform.utf8("\n"))
+    bus.start()
+    // wire input arrives framed; receive strips, so routing sees bare payloads
+    src.put(Msg.utf8("1", "ok\n"), Msg.utf8("2", "fail\n"))
+    bus.awaitIdle()
+    assert(sink.sent("out").map(_.dataUtf8) == Seq("ok\n"),
+      "added receive+send transforms must round-trip the frame")
+    assert(dlq.sent("dead").map(_.dataUtf8) == Seq("fail"),
+      "added fail sink and fail dest must receive the failed row")
+    // after start() the configuration is frozen
+    intercept[IllegalArgumentException](bus.withFailSink(new MemorySink))
+    intercept[IllegalArgumentException](
+      bus.addReceiveTransforms(SeparatorTransform.utf8("\n")))
+    intercept[IllegalArgumentException](
+      bus.addSendTransforms(SeparatorTransform.utf8("\n")))
+    bus.flushAndClose(10000)
+  }
+
   test("table replay source streams an existing parquet table as messages") {
     val sink = new MemorySink
     val bus = new FrizzleStream(spark,

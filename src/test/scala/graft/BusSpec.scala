@@ -190,6 +190,108 @@ class BusSpec extends SparkSpec {
     bus.flushAndClose(10000)
   }
 
+  test("unaddressable data-computed dest dead-letters; the epoch still commits (A4/A7)") {
+    import spark.implicits._
+    val src = new MemorySource(spark)
+    val spool = Files.createTempDirectory("poison_out").toString + "/routed"
+    val dlq = new MemorySink
+    val bus = new FrizzleStream(spark, src,
+      // dest comes straight from the DATA: a buggy/malicious payload can
+      // compute a dest the path-partitioned sink cannot address — the bus
+      // must dead-letter those rows, never let the sink throw (a throw
+      // would terminate the query and replay the poison on every
+      // checkpoint restart: a permanent halt)
+      FrizzleStream.exprProcessor(
+        dest = col("data").cast("string"),
+        failed = col("data").cast("string") === "fail"),
+      new FileAdapters.ParquetDirSink(spool), Some(dlq),
+      checkpointDir = Some(Files.createTempDirectory("poison_ck").toString))
+    bus.start()
+    src.put(Msg.utf8("1", "ok"), Msg.utf8("2", "a*b"), Msg.utf8("3", "fail"))
+    bus.awaitIdle() // must NOT throw: the poison dest never reaches sink.write
+    assert(spark.read.parquet(spool)
+      .select(col("data").cast("string")).as[String].collect().toSeq == Seq("ok"))
+    // ONE dead-letter write carries both the processor-failed row and the
+    // unaddressable-dest row (two writes to the same (batchId, failDest)
+    // would be deduped away by an idempotent fail sink)
+    assert(dlq.sent("failed").map(_.dataUtf8).sorted == Seq("a*b", "fail"))
+    assert(bus.stats.snapshot == Map(
+      "rcv" -> 3L, "send" -> 1L, "ack" -> 1L, "fail" -> 2L,
+      "failsink" -> 2L, "error" -> 0L))
+    assert(bus.events.exists(e =>
+      e.level == "error" && e.message.contains("unaddressable")),
+      s"routing must surface an event: ${bus.events}")
+    bus.flushAndClose(10000)
+  }
+
+  test("terminal non-batch error counts once in ctr.error (A14 parity)") {
+    // corrupt the checkpoint BEFORE first start: the stream thread fails
+    // reading the offset log before any batch runs — an error path that
+    // never enters runBatch, so only the terminated-listener can count it
+    // (reference: one ctr.error per occurrence, options.go:95-99)
+    val ck = Files.createTempDirectory("ck_corrupt")
+    Files.createDirectories(ck.resolve("offsets"))
+    Files.write(ck.resolve("offsets").resolve("0"),
+      "garbage, not an offset log".getBytes("UTF-8"))
+    val src = new MemorySource(spark)
+    val bus = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(dest = lit("x"), failed = lit(false)),
+      new MemorySink,
+      checkpointDir = Some(ck.toString))
+    try bus.start() catch { case _: Exception => () }
+    // listener delivery is async; poll for the count
+    val deadline = System.currentTimeMillis() + 15000
+    while (bus.stats.error.get == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(bus.stats.error.get == 1,
+      s"terminal non-batch error must count exactly once: ${bus.events}")
+    assert(bus.stats.rcv.get == 0, "no batch may have run")
+    try bus.flushAndClose(5000) catch { case _: Exception => () }
+  }
+
+  test("flushAndClose refuses to report a clean close when the drain times out (A15/A16)") {
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, src,
+      // a processor that stalls longer than the flush budget: the message
+      // is in flight when the timeout expires
+      process = df => {
+        Thread.sleep(5000)
+        df.withColumn("dest", lit("out")).withColumn("failed", lit(false))
+      },
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("stall_ck").toString))
+    bus.start()
+    src.put(Msg.utf8("1", "pending"))
+    val drained = bus.flushAndClose(500)
+    // ErrUnackedMsgsRemain parity (basic/source.go:108-117): the close
+    // cannot be refused (the checkpoint keeps the offsets), but it must
+    // not LOOK clean either
+    assert(!drained, "drain timed out with a message in flight — must report false")
+    assert(bus.events.exists(e =>
+      e.level == "error" && e.message.contains("drain timed out")),
+      s"refusal must surface as an error event: ${bus.events}")
+  }
+
+  test("Kinesis binding pins the kinesis-sql connector option contract") {
+    // the contract is DATA, asserted offline: option keys/values exactly as
+    // the pinned qubole/kinesis-sql lineage defines them — a silent key
+    // mismatch would otherwise surface only in production
+    val cfg = BusConfig.fromEnv(Map("BUFFER_SIZE" -> "123"))
+    val srcK = KinesisAdapters.source("events", "us-east-1", cfg)
+    assert(KinesisAdapters.connectorFormat == "kinesis")
+    assert(srcK.connectorOptions == Map(
+      "streamName" -> "events", "region" -> "us-east-1",
+      "startingPosition" -> "latest", "maxFetchRecordsPerShard" -> "123"))
+    val withEp = new KinesisAdapters.KinesisSource("s", "eu-west-1",
+      maxFetchRecordsPerShard = 77L, startingPosition = "trim_horizon",
+      endpointUrl = Some("https://kinesis.local:4566"))
+    assert(withEp.connectorOptions == Map(
+      "streamName" -> "s", "region" -> "eu-west-1",
+      "startingPosition" -> "trim_horizon", "maxFetchRecordsPerShard" -> "77",
+      "endpointUrl" -> "https://kinesis.local:4566"))
+  }
+
   test("Kinesis binding wires config up to the connector boundary") {
     // no Kinesis endpoint or connector jar offline: the binding must
     // construct, apply its options, and fail exactly at connector lookup

@@ -131,6 +131,51 @@ class FileAdapterSpec extends SparkSpec {
     bus.flushAndClose(10000)
   }
 
+  test("chainSource works through an explicit file:// URI (Hadoop Path form)") {
+    // locks the round-5 java.io.File → Hadoop FileSystem port: the spool
+    // may be addressed by URI (file://, hdfs://, s3a://…); the File-based
+    // code mangled the scheme into a bogus local path
+    val spoolUri = Files.createTempDirectory("uri_spool").toUri.toString
+      .stripSuffix("/") // "file:///tmp/…"
+    assert(spoolUri.startsWith("file:///"))
+    val src = new MemorySource(spark)
+    val end = new MemorySink
+    val bus1 = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(dest = lit("mid"), failed = lit(false)),
+      new ParquetDirSink(spoolUri),
+      checkpointDir = Some(Files.createTempDirectory("uri_ck1").toString))
+    val bus2 = new FrizzleStream(spark,
+      FileAdapters.chainSource(spoolUri, "mid"),
+      FrizzleStream.exprProcessor(dest = lit("out"), failed = lit(false)),
+      end,
+      checkpointDir = Some(Files.createTempDirectory("uri_ck2").toString))
+    bus1.start(); bus2.start()
+    src.put(Msg.utf8("1", "via-uri"))
+    bus1.awaitIdle(); bus2.awaitIdle()
+    assert(end.sent("out").map(_.dataUtf8) == Seq("via-uri"),
+      "a message must survive the URI-addressed spool hop")
+    bus1.flushAndClose(15000); bus2.flushAndClose(15000)
+  }
+
+  test("dest validation rejects path, glob, partition and URI metacharacters") {
+    // a good topic name constructs
+    FileAdapters.chainSource("/tmp/spool", "topic-a_1.v2")
+    // every metacharacter class fails with the CONTRACT's message — not an
+    // opaque Hadoop Path error (':'/'#' would otherwise parse as URI
+    // scheme/fragment separators inside new Path)
+    for (bad <- Seq("", "a/b", "a\\b", "a..b", "a=b", "a%b", "a b",
+        "a*b", "a?b", "a[b", "a{b", "a:b", "a#b")) {
+      val e = intercept[IllegalArgumentException](
+        FileAdapters.chainSource("/tmp/spool", bad))
+      assert(e.getMessage.contains("illegal destination"),
+        s"'$bad' must fail the dest contract, got: ${e.getMessage}")
+    }
+    // the sink-side gate the bus consults before write (same predicate)
+    val sink = new ParquetDirSink("/tmp/spool")
+    assert(sink.safeDest("topic-a_1.v2"))
+    assert(!sink.safeDest("a:b") && !sink.safeDest("a*b") && !sink.safeDest("a=b"))
+  }
+
   test("NoopSink evaluates and drops batches (mock mode)") {
     val sink = new NoopSink
     sink.write(Seq(Msg.utf8("1", "x")).toDS(), "anywhere", 0L)

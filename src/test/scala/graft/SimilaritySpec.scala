@@ -178,6 +178,115 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"cluster census mismatch: got ${got.size} want ${want.size} clusters")
   }
 
+  test("oracle margin guard: declared float margins hold with 100x safety on this fixture") {
+    // The similarity oracles declare ids/rank-only outputs on the strength
+    // of MEASURED margins (see the per-query notes in Similarity.scala):
+    // bucket bits and floor filters share the oracle's exact formulation
+    // (cross-engine double-fold divergence ~1e-13), rankings cross
+    // formulations (dot/sqrt here vs list_cosine_similarity there,
+    // divergence ~1e-7). This guard recomputes every margin those
+    // declarations rest on, with a 100x safety factor, so a fixture
+    // regeneration that lands a pair near a sign/floor/rank boundary fails
+    // HERE with a clear message instead of flaking the driver's hash gate.
+    val idemMargin = 100.0 * 1e-13 // identical-formulation boundaries
+    val xMargin = 100.0 * 1e-7 // cross-formulation ranking boundaries
+
+    val emb: Map[Long, Array[Double]] =
+      graft.ops.tbl(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    val ids = emb.keys.toSeq.sorted
+    def fold(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(fold(v, v)) }
+    def cosD(a: Long, b: Long): Double = fold(emb(a), emb(b)) / (nrm(a) * nrm(b))
+    // planes 0-63 cover both LSH parameterizations in use (4 bits × 8
+    // tables for q_sim_cosine_lsh, 4 × 16 for q_embed_neardup_all/clusters)
+    val planes = (0 until 64).map(p =>
+      VectorFunctions.planeSigns(p, 64).map(_.toDouble))
+
+    def minProjection(vecs: Iterable[Array[Double]]): Double =
+      (for (v <- vecs.iterator; p <- planes.iterator)
+        yield math.abs(fold(v, p))).min
+
+    // 1. LSH bucket-bit stability (sign of v·plane; identical formulation)
+    val minProj = minProjection(emb.values)
+    assert(minProj >= idemMargin,
+      f"LSH projection margin collapsed to $minProj%.3e (< $idemMargin%.1e): " +
+        "a vector sits on a hyperplane boundary; regenerate planes or re-measure")
+
+    // 2. q_embed_neardup_all / q_embed_clusters floor (cos > 0.4, identical
+    // formulation in oracle SQL) — guard ALL pairs (superset of candidates)
+    val minFloor04 = (for {
+      (a, i) <- ids.iterator.zipWithIndex; b <- ids.iterator.drop(i + 1)
+    } yield math.abs(cosD(a, b) - 0.4)).min
+    assert(minFloor04 >= idemMargin,
+      f"near-dup floor margin collapsed to $minFloor04%.3e: a pair sits on the 0.4 floor")
+
+    // 3. q_sim_cosine_topk ranking: per-probe top-6 adjacent gaps (the
+    // rank-5/6 boundary decides membership; cross-formulation)
+    def topGaps(cand: Seq[Double]): Seq[Double] = {
+      val cs = cand.sorted(Ordering[Double].reverse)
+      cs.zip(cs.tail).take(6).map { case (x, y) => x - y }
+    }
+    val topkGap = (0L until 10L).map { p =>
+      topGaps(ids.filter(_ != p).map(cosD(p, _))).min
+    }.min
+    assert(topkGap >= xMargin,
+      f"top-k adjacent ranking gap collapsed to $topkGap%.3e: two neighbors tie at the rank boundary")
+
+    // 4. q_sim_cosine_lsh ranking over its ACTUAL candidate sets (bucket
+    // mates in any of the 8 tables — a candidate subset can surface
+    // deep-ranking near-ties the full-corpus top-6 never sees)
+    def bucketOf(v: Long, nBits: Int, t: Int): Int =
+      (0 until nBits).map { i =>
+        if (fold(emb(v), planes(t * nBits + i)) >= 0) 1 << i else 0
+      }.sum
+    val lshGap = (0L until 10L).map { p =>
+      val cand = (0 until 8).flatMap { t =>
+        val pb = bucketOf(p, 4, t)
+        ids.filter(v => v != p && bucketOf(v, 4, t) == pb)
+      }.distinct
+      topGaps(cand.map(cosD(p, _))).min
+    }.min
+    assert(lshGap >= xMargin,
+      f"LSH candidate ranking gap collapsed to $lshGap%.3e at the top-6 boundary")
+
+    // 5. q_embed_neardup: rank-1 pick's 0.2-floor margin + rank1/rank2 gap
+    val probeTops = (0L until math.min(100L, ids.size.toLong)).map { p =>
+      ids.filter(_ != p).map(cosD(p, _)).sorted(Ordering[Double].reverse)
+    }
+    val floor02 = probeTops.map(cs => math.abs(cs.head - 0.2)).min
+    val nnGap = probeTops.map(cs => cs.head - cs(1)).min
+    assert(floor02 >= xMargin && nnGap >= xMargin,
+      f"near-dup NN margins collapsed (floor $floor02%.3e, rank gap $nnGap%.3e)")
+
+    // 6. q_sim_cosine_ivf: cell-assignment rank1/2 gap (every vector) and
+    // probe-cell rank4/5 gap (nProbe = 4 boundary)
+    val cells = ids.filter(_ < 16)
+    def cellCos(v: Long, c: Long): Double = if (v == c) 1.0 else cosD(v, c)
+    val assignGap = ids.map { v =>
+      val cs = cells.map(cellCos(v, _)).sorted(Ordering[Double].reverse)
+      cs(0) - cs(1)
+    }.min
+    val probeCellGap = (0L until 10L).map { p =>
+      val cs = cells.map(cellCos(p, _)).sorted(Ordering[Double].reverse)
+      cs(3) - cs(4)
+    }.min
+    assert(assignGap >= xMargin && probeCellGap >= xMargin,
+      f"IVF margins collapsed (assignment $assignGap%.3e, probe-cell $probeCellGap%.3e)")
+
+    // 7. the guard actually guards: a fixture perturbed onto a hyperplane
+    // boundary (projection cancelled in double space) must trip check #1
+    val v0 = emb(ids.head).clone()
+    v0(0) -= fold(v0, planes(0)) / planes(0)(0)
+    assert(minProjection(Seq(v0)) < idemMargin,
+      "perturbed-fixture self-check: a boundary-adjacent vector must be detected")
+  }
+
   test("q_embed_neardup returns the true nearest neighbor per probe") {
     val emb = graft.ops.tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
