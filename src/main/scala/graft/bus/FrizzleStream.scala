@@ -179,6 +179,24 @@ final class FrizzleStream(
 
   /** Start the bus (A1/A2/A4): one streaming query per bus instance. */
   def start(): FrizzleStream = {
+    // one query per bus, explicitly: query is never reset, so a second
+    // start() would orphan the first query's listener accounting and make
+    // the batchErrorCounted dedup flag ambiguous across queries
+    require(query == null,
+      "bus already started: one streaming query per bus instance " +
+        "(flushAndClose and construct anew to restart)")
+    batchErrorCounted = false
+    // failDest is config, not data — an unaddressable one would poison the
+    // FIRST dead-letter write (requireSafeDest throws inside the fail
+    // sink, the epoch fails and replays forever: the exact failure mode
+    // safeDest routing exists to prevent on the main sink). Fail fast
+    // here instead of on the first dead row.
+    failSinkV.foreach { fs =>
+      require(fs.safeDest(failDestV),
+        s"failDest '$failDestV' is not addressable by the configured fail " +
+          "sink (safeDest=false): the first dead-letter write would " +
+          "permanently poison the bus — fix the failDest before start()")
+    }
     spark.streams.addListener(listener)
     val in = receiveTransformsV.foldLeft(source.stream(spark))((df, t) => t.onReceive(df))
     // Trigger pacing is the batch-size/latency knob: 0 = as-fast-as-

@@ -9,29 +9,42 @@ import org.apache.spark.sql.functions._
   * out-of-repo there, README.md:43-45).
   *
   * Mapping: partitionKey → Msg.id, record data → Msg.data,
-  * approximateArrivalTimestamp → Msg.ts — the Kinesis record fields every
-  * open connector exposes (spark-sql-kinesis / kinesis-sql lineage;
-  * `format("kinesis")`). `maxFetchRecordsPerShard` is the admission-control
-  * knob (the reference's BUFFER_SIZE, basic/source.go:13-17), applied
-  * per-shard because Kinesis meters reads per shard. Requires a Kinesis
-  * connector on the classpath at runtime; this build environment has no
-  * stream endpoint, so the binding is config-checked in the offline suite
-  * and exercised in production deployments — same contract as
-  * [[KafkaAdapters]].
+  * approximateArrivalTimestamp → Msg.ts — the Kinesis record fields the
+  * pinned connector exposes. `maxFetchRecordsPerShard` is the
+  * admission-control knob (the reference's BUFFER_SIZE,
+  * basic/source.go:13-17), applied per-shard because Kinesis meters reads
+  * per shard. Requires a Kinesis connector on the classpath at runtime;
+  * this build environment has no stream endpoint, so the binding is
+  * config-checked in the offline suite and exercised in production
+  * deployments — same contract as [[KafkaAdapters]].
   */
 object KinesisAdapters {
 
   /** The PINNED connector contract this binding targets: the open
     * qubole/kinesis-sql connector lineage (`spark-sql-kinesis`, DataSource
-    * short name `kinesis`), whose option keys are `streamName` / `region` /
-    * `startingPosition` / `maxFetchRecordsPerShard` / `endpointUrl` and
-    * whose record schema exposes `partitionKey` / `data` /
+    * short name `kinesis`). Its REAL option keys, per that lineage's
+    * KinesisSourceProvider/README:
+    *
+    *   - `streamName` — the stream to read
+    *   - `endpointUrl` — REQUIRED; the region is derived from the endpoint
+    *     (there is no `region` key in this lineage)
+    *   - `startingposition` — latest / trim_horizon / earliest (documented
+    *     lowercase; Spark option maps are case-insensitive)
+    *   - `kinesis.executor.maxFetchRecordsPerShard` — per-shard fetch cap
+    *     (the executor knobs carry the `kinesis.executor.` prefix)
+    *
+    * and whose record schema exposes `partitionKey` / `data` /
     * `approximateArrivalTimestamp`. Deployments must ship a fork of that
     * lineage built for their Spark/Scala version (e.g. a
-    * `spark-sql-kinesis_2.13` artifact); a connector from a DIFFERENT
-    * lineage (different option keys or record schema) needs its own
-    * BusSource binding — this one would fail loudly at option/column
-    * resolution, never silently misread.
+    * `spark-sql-kinesis_2.13` artifact).
+    *
+    * CAUTION on a wrong-lineage connector: Spark data sources silently
+    * IGNORE unrecognized options, so a connector with different option
+    * keys would come up with defaults (wrong endpoint, default fetch
+    * caps) rather than failing at option resolution. Only the column
+    * SELECT below fails loudly, and only if the record schema differs.
+    * A connector from a different lineage therefore needs its own
+    * BusSource binding — do not point this one at it.
     */
   val connectorFormat: String = "kinesis"
   val connectorLineage: String = "qubole/kinesis-sql (spark-sql-kinesis)"
@@ -44,15 +57,19 @@ object KinesisAdapters {
       endpointUrl: Option[String] = None) extends BusSource {
 
     /** The exact option map handed to the pinned connector — exposed so the
-      * contract is offline-testable as data (the suite asserts this map,
-      * not just "fails mentioning kinesis").
+      * contract is offline-testable as data (the suite asserts this map
+      * against the pinned lineage's documented keys, not just "fails
+      * mentioning kinesis"). `endpointUrl` is always present because the
+      * pinned lineage requires it and derives the region from it: when not
+      * given explicitly, it is the standard AWS regional endpoint for
+      * `region`.
       */
     def connectorOptions: Map[String, String] = Map(
       "streamName" -> streamName,
-      "region" -> region,
-      "startingPosition" -> startingPosition,
-      "maxFetchRecordsPerShard" -> maxFetchRecordsPerShard.toString) ++
-      endpointUrl.map("endpointUrl" -> _)
+      "endpointUrl" -> endpointUrl.getOrElse(
+        s"https://kinesis.$region.amazonaws.com"),
+      "startingposition" -> startingPosition,
+      "kinesis.executor.maxFetchRecordsPerShard" -> maxFetchRecordsPerShard.toString)
 
     def stream(spark: SparkSession): DataFrame =
       spark.readStream

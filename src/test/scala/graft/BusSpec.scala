@@ -273,23 +273,56 @@ class BusSpec extends SparkSpec {
       s"refusal must surface as an error event: ${bus.events}")
   }
 
+  test("start() fails fast on a failDest the fail sink cannot address") {
+    // failDest is config, not data: if the fail sink's path layout cannot
+    // carry it, the FIRST dead-letter write would poison the bus (epoch
+    // fails inside requireSafeDest and replays forever). start() must
+    // refuse up front instead.
+    val tmp = Files.createTempDirectory("dlqdir").toString
+    val src = new MemorySource(spark)
+    val dlq = new FileAdapters.ParquetDirSink(tmp)
+    val bus = new FrizzleStream(
+      spark, src, FrizzleStream.exprProcessor(dest = lit("ok"), failed = lit(false)),
+      new MemorySink, Some(dlq), failDest = "dead*letter")
+    val err = intercept[IllegalArgumentException](bus.start())
+    assert(err.getMessage.contains("failDest"), err.getMessage)
+    src.close()
+  }
+
+  test("start() refuses a second start on the same bus") {
+    val (src, _, _, bus) = newBus()
+    bus.start()
+    val err = intercept[IllegalArgumentException](bus.start())
+    assert(err.getMessage.contains("already started"), err.getMessage)
+    bus.flushAndClose(10000)
+  }
+
   test("Kinesis binding pins the kinesis-sql connector option contract") {
     // the contract is DATA, asserted offline: option keys/values exactly as
     // the pinned qubole/kinesis-sql lineage defines them — a silent key
     // mismatch would otherwise surface only in production
+    // keys per the qubole/kinesis-sql lineage: endpointUrl (required;
+    // region derives from it — the lineage has NO `region` key),
+    // startingposition, and the `kinesis.executor.` prefix on the fetch
+    // cap. Spark silently ignores unknown options, so asserting the
+    // lineage's REAL keys here is the only offline defense against a
+    // silent contract mismatch.
     val cfg = BusConfig.fromEnv(Map("BUFFER_SIZE" -> "123"))
     val srcK = KinesisAdapters.source("events", "us-east-1", cfg)
     assert(KinesisAdapters.connectorFormat == "kinesis")
     assert(srcK.connectorOptions == Map(
-      "streamName" -> "events", "region" -> "us-east-1",
-      "startingPosition" -> "latest", "maxFetchRecordsPerShard" -> "123"))
+      "streamName" -> "events",
+      "endpointUrl" -> "https://kinesis.us-east-1.amazonaws.com",
+      "startingposition" -> "latest",
+      "kinesis.executor.maxFetchRecordsPerShard" -> "123"))
     val withEp = new KinesisAdapters.KinesisSource("s", "eu-west-1",
       maxFetchRecordsPerShard = 77L, startingPosition = "trim_horizon",
       endpointUrl = Some("https://kinesis.local:4566"))
     assert(withEp.connectorOptions == Map(
-      "streamName" -> "s", "region" -> "eu-west-1",
-      "startingPosition" -> "trim_horizon", "maxFetchRecordsPerShard" -> "77",
-      "endpointUrl" -> "https://kinesis.local:4566"))
+      "streamName" -> "s",
+      "endpointUrl" -> "https://kinesis.local:4566",
+      "startingposition" -> "trim_horizon",
+      "kinesis.executor.maxFetchRecordsPerShard" -> "77"))
   }
 
   test("Kinesis binding wires config up to the connector boundary") {

@@ -233,7 +233,7 @@ class SimilaritySpec extends SparkSpec {
       cs.zip(cs.tail).take(6).map { case (x, y) => x - y }
     }
     val topkGap = (0L until 10L).map { p =>
-      topGaps(ids.filter(_ != p).map(cosD(p, _))).min
+      topGaps(ids.filter(_ != p).map(cosD(p, _))).minOption.getOrElse(Double.MaxValue)
     }.min
     assert(topkGap >= xMargin,
       f"top-k adjacent ranking gap collapsed to $topkGap%.3e: two neighbors tie at the rank boundary")
@@ -250,7 +250,9 @@ class SimilaritySpec extends SparkSpec {
         val pb = bucketOf(p, 4, t)
         ids.filter(v => v != p && bucketOf(v, 4, t) == pb)
       }.distinct
-      topGaps(cand.map(cosD(p, _))).min
+      // a probe whose buckets hold <=1 candidate has no adjacent-gap
+      // boundary to guard — Double.MaxValue, not empty.min's opaque throw
+      topGaps(cand.map(cosD(p, _))).minOption.getOrElse(Double.MaxValue)
     }.min
     assert(lshGap >= xMargin,
       f"LSH candidate ranking gap collapsed to $lshGap%.3e at the top-6 boundary")
