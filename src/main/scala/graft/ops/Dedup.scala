@@ -27,32 +27,53 @@ object Dedup {
   private val NumHashes = 32
   private val BandSize = 4 // → 8 bands
 
-  /** 3-token shingle array of a text column (docs shorter than 3 tokens
-    * contribute one whole-doc shingle). Shared by the minhash sketch tier
-    * AND the exact tier (TextOps.q_jaccard_shingles) — one definition, so
-    * the cross-tier "same shingles" equivalence cannot drift.
+  /** 64-bit hashes of the 3-token shingles of a (doc_id, text) frame,
+    * exploded to a (doc_id, h1) stream — docs shorter than 3 tokens
+    * contribute one whole-doc shingle. Two-step formulation, and the step
+    * boundary is load-bearing:
+    *
+    *   1. project `th` = per-token xxhash64 array (ONE split + one hash
+    *      per token per row);
+    *   2. shingle hash = xxhash64 over the 3 neighboring token hashes,
+    *      indexed out of the MATERIALIZED `th` attribute.
+    *
+    * Referencing the array through a projected attribute matters:
+    * expressions inside a higher-order-function lambda get no
+    * common-subexpression elimination, so `get(split(text), i)` re-runs
+    * the split PER SHINGLE (measured 2× slower than even the
+    * string-building formulation this replaces). Hashing token hashes is
+    * the same set identity as hashing the space-joined shingle string
+    * (xxhash64 mixes children in sequence and skips nulls), without
+    * allocating the ~25-byte string per shingle. Shared by the minhash
+    * sketch tier AND the exact tier (TextOps.q_jaccard_shingles) — one
+    * definition, so the cross-tier "same shingles" equivalence cannot
+    * drift.
     */
-  private[ops] def shingles(text: org.apache.spark.sql.Column) = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    transform(sequence(lit(1), greatest(n - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+  private[ops] def shingleHashStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val th = col("th")
+    docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), explode(
+        // get() (0-based) returns null past the end — ANSI-safe for the
+        // whole-doc shingle of 1/2-token docs, where xxhash64 skips nulls
+        transform(sequence(lit(0), greatest(size(th) - 3, lit(0))),
+          i => xxhash64(get(th, i), get(th, i + 1), get(th, i + 2)))).as("h1"))
   }
 
   /** Per-document MinHash signature (NumHashes longs) over a
-    * (doc_id, text) frame. Each shingle's STRING is hashed once; the k
-    * minhash functions then re-hash the resulting 8-byte value with k
-    * seeds (fixed-width long hashing — no re-scan of the shingle text per
-    * function, and no overflow under ANSI arithmetic, unlike h1 + i·h2
-    * double hashing). For ~25-byte shingles this cuts the hash work in the
-    * hot scan by ~10×. The component-match fraction of two signatures is
-    * an unbiased estimator of shingle-set Jaccard (σ = √(J(1−J)/k) —
-    * property-tested against exact Jaccard in DedupSpec).
+    * (doc_id, text) frame. Each shingle is hashed once (tuple-hashed,
+    * never materialized as a string); the k minhash functions then re-hash
+    * the resulting 8-byte value with k seeds (fixed-width long hashing —
+    * no re-scan of the shingle text per function, and no overflow under
+    * ANSI arithmetic, unlike h1 + i·h2 double hashing). This cuts the hash
+    * work in the hot scan by ~10× vs per-function string hashing. The
+    * component-match fraction of two signatures is an unbiased estimator
+    * of shingle-set Jaccard (σ = √(J(1−J)/k) — property-tested against
+    * exact Jaccard in DedupSpec).
     */
   def minhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h1"))
+    shingleHashStream(docs)
       .groupBy("doc_id")
       .agg(array((0 until NumHashes).map { h =>
         min(xxhash64(lit(h), col("h1")))

@@ -216,11 +216,14 @@ object TextOps {
       // whole-doc shingle (mirrored in the oracle's CASE).
       "q_jaccard_shingles",
       (s, d) => {
-        // Dedup.shingles: the SAME shingle definition the minhash sketch
-        // tier uses — the exact/sketch cross-tier equivalence depends on it
+        // Dedup.shingleHashStream: the SAME shingle definition (and hash)
+        // the minhash sketch tier uses — the exact/sketch cross-tier
+        // equivalence depends on it. The tokens fed to jaccardPairs are
+        // already 8-byte shingle hashes; its own xxhash64 re-hash of a
+        // fixed-width long is noise next to the string hashing it replaces.
         jaccardPairs(
-            tbl(s, d, "documents")
-              .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("token")),
+            Dedup.shingleHashStream(tbl(s, d, "documents"))
+              .withColumnRenamed("h1", "token"),
             dfCeiling = 1000)
           .transform(df => sortOnce(df)(asc_nulls_first("a_id"), asc_nulls_first("b_id")))
       },
