@@ -261,13 +261,17 @@ object TextOps {
         // Docs with <2 tokens yield no bigrams: unguarded sequence(1, 0)
         // produces a DESCENDING [1,0] and slice(toks, 0, 2) throws (array
         // indices are 1-based). `when` gates to null, which explode drops —
-        // matching the oracle's empty range(1, len(l)).
-        val toks = split(col("text"), " ")
+        // matching the oracle's empty range(1, len(l)). toks is projected
+        // to an attribute first: the output must be the bigram STRING so
+        // the concat stays, but lambda bodies get no CSE, and slicing
+        // split(text) directly would re-run the split per bigram.
+        val toks = col("toks")
         val bigrams = when(size(toks) >= 2,
           transform(
             sequence(lit(1), size(toks) - 1),
             i => concat_ws(" ", slice(toks, i, lit(2)))))
         tbl(s, d, "documents")
+          .select(split(col("text"), " ").as("toks"))
           .select(explode(bigrams).as("bg"))
           .groupBy("bg")
           .agg(count(lit(1)).as("cnt"))
@@ -372,22 +376,22 @@ object TextOps {
       "q_doc_fingerprint",
       (s, d) => {
         // explode → hash once per shingle → MIN/MAX partial aggregates
-        // (map-side combine; same scale shape as q_minhash_neardup — the
-        // per-row nested-transform form re-built and re-hashed the shingle
-        // array per output column).
-        val toks = split(col("text"), " ")
-        val n = size(toks)
-        val shingles = transform(
-          sequence(lit(1), greatest(n - 3, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(4))))
+        // (map-side combine; same scale shape as q_minhash_neardup). Same
+        // two-step tuple-hash form as Dedup.shingleHashStream, 4-token
+        // window: project the per-token hash array once, then combine 4
+        // neighboring token hashes per shingle — indexing a MATERIALIZED
+        // attribute, because lambda bodies get no CSE and indexing
+        // split(text) directly re-runs the split per shingle.
+        val th = col("th")
+        val shh = transform(
+          sequence(lit(0), greatest(size(th) - 4, lit(0))),
+          i => xxhash64(get(th, i), get(th, i + 1), get(th, i + 2), get(th, i + 3)))
         tbl(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
           .select(col("doc_id"), xxhash64(col("text")).as("fp_full"),
             graft.expr.RollingMinHash(col("text"), 16).as("fp_roll"),
-            explode(shingles).as("sh"))
-          // hash each shingle ONCE in the projection: CSE does not cross
-          // aggregate boundaries, so min(xxhash64)/max(xxhash64) would
-          // re-hash every shingle twice
-          .withColumn("shh", xxhash64(col("sh"))).drop("sh")
+            explode(shh).as("shh"))
           .groupBy("doc_id", "fp_full", "fp_roll")
           .agg(
             min(col("shh")).as("fp_min"),
