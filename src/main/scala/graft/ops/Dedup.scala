@@ -320,6 +320,41 @@ object Dedup {
           .transform(df => sortOnce(df)(asc_nulls_first("simhash")))
       },
       None
+    ),
+    Q(
+      // Test-set decontamination: corpus docs sharing any 3-token shingle
+      // with a held-out benchmark set (here doc_id < 20 stands in for the
+      // eval set) must be flagged before training. Shape at 100 TB: the
+      // benchmark's distinct shingle-hash set is bounded (an eval suite,
+      // not the corpus), so it BROADCASTS and the corpus side streams
+      // through a broadcast hash join — no corpus shuffle at all before
+      // the small per-doc hit count. Same shingle definition/hash as both
+      // dedup tiers (Dedup.shingleHashStream).
+      "q_decontaminate",
+      (s, d) => {
+        val sh = shingleHashStream(tbl(s, d, "documents").select("doc_id", "text"))
+        val bench = sh.filter(col("doc_id") < 20).select("h1").distinct()
+        sh.filter(col("doc_id") >= 20)
+          .join(broadcast(bench), Seq("h1"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h1")).as("n_hits"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      // the oracle builds the SAME shingle sets from strings — shared-
+      // shingle counts are identical modulo a 64-bit hash collision
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |bench AS (SELECT DISTINCT token FROM sh WHERE doc_id < 20)
+             |SELECT s.doc_id, COUNT(DISTINCT s.token) AS n_hits
+             |FROM sh s JOIN bench b ON s.token = b.token
+             |WHERE s.doc_id >= 20
+             |GROUP BY s.doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

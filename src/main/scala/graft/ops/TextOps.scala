@@ -400,6 +400,81 @@ object TextOps {
           .transform(df => sortOnce(df)(asc_nulls_first("doc_id")))
       },
       None
+    ),
+    Q(
+      // PII scrubbing: regex redaction of emails and long digit runs, the
+      // pre-training privacy pass. The synthetic corpus carries no real
+      // PII, so the contact field is SYNTHESIZED (source@lang.example.com
+      // user <id>) to make every row exercise a real match — the redaction
+      // plumbing (pattern dialect shared by Java regex and RE2, global
+      // replace, per-row hit counts) is exactly what a production scrub
+      // runs. Pure projection: codegen'd, no shuffle, scales linearly.
+      "q_pii_scrub",
+      (s, d) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val numPat = "[0-9]{3,}"
+        val contact = concat(col("source"), lit("@"), col("lang"),
+          lit(".example.com user "), col("doc_id").cast("string"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), contact.as("contact"))
+          .select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(col("contact"), emailPat, "[EMAIL]"),
+              numPat, "[NUM]").as("scrubbed"),
+            size(regexp_extract_all(col("contact"), lit(emailPat), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("contact"), lit(numPat), lit(0)))
+              .cast("long").as("n_nums"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    source || '@' || lang || '.example.com user ' || CAST(doc_id AS VARCHAR) AS contact
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(contact,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '[0-9]{3,}', '[NUM]', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(contact,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(contact, '[0-9]{3,}')) AS BIGINT) AS n_nums
+             |FROM c
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Repetition quality signals (Gopher-style): repeated-token ratio
+      // (1 − distinct/total) and top-token share per document — high
+      // values flag boilerplate/spam before training. Two-level agg: the
+      // (doc_id, token) count combines map-side, the per-doc rollup
+      // shuffles one row per distinct (doc, token). The single IEEE
+      // division (and subtraction) happens LAST on both engines —
+      // bit-identical, per the determinism conventions.
+      "q_quality_repetition",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).cast("long").as("top_cnt"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .as("rep_ratio"),
+            (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+              .as("top_share"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+             |SELECT doc_id,
+             |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_distinct,
+             |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio,
+             |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+             |FROM cnt GROUP BY doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }
