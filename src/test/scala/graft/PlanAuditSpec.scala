@@ -126,6 +126,27 @@ class PlanAuditSpec extends SparkSpec
     }
   }
 
+  // The materialized-token-array contract (Dedup.shingleHashStream and the
+  // fingerprint/bigram shingle sites): lambda bodies inside higher-order
+  // functions get no common-subexpression elimination, so the token split
+  // must be projected to an attribute BEFORE any lambda indexes it — a
+  // refactor that inlines split(text) back into the lambda re-runs the
+  // split per shingle (measured 2×+ slower). A plan-count check cannot
+  // catch this (the inlined form prints ONE textual site that evaluates
+  // N times), so pin the tell-tale shapes instead: an index/slice applied
+  // directly to an inline split(...) result.
+  Seq("q_minhash_neardup", "q_jaccard_shingles", "q_doc_fingerprint",
+      "q_top_bigrams").foreach { name =>
+    test(s"$name never indexes an inline split (materialized token array)") {
+      val plan = query(name).queryExecution.executedPlan.toString
+      Seq("get(split(", "element_at(split(", "slice(split(").foreach { bad =>
+        assert(!plan.contains(bad),
+          s"$name indexes an un-materialized split result ('$bad') — " +
+            s"this re-runs the split per shingle inside the lambda:\n$plan")
+      }
+    }
+  }
+
   test("q_agg_group plans a partial (map-side) aggregate below the shuffle") {
     val plan = query("q_agg_group").queryExecution.executedPlan.toString
     // plan prints top-down: the partial aggregate appears AFTER the hash
