@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real JDK-only codecs for the multimodal operators.
+  *
+  * Images: `javax.imageio` ships PNG/JPEG/BMP/GIF readers and writers in
+  * every JDK — no native codec libraries needed. Audio: `javax.sound.sampled`
+  * parses and writes RIFF/WAVE PCM. Both are used executor-side inside
+  * `mapPartitions` (one call per row, no shared mutable state — ImageIO's
+  * static readers are thread-safe per invocation since each read allocates
+  * its own ImageReader).
+  *
+  * Video stays stubbed (the JDK has no container demuxer); see
+  * MediaOps.FakeCodec.
+  */
+object ImageCodec {
+
+  /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF). Returns None
+    * for unrecognized or corrupt bytes rather than throwing, so mixed-type
+    * media columns never fail a whole partition.
+    */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Mean Rec.601 luminance over all pixels, normalized to [0, 1]. */
+  def meanLuma(img: BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    sum / (w.toLong * h) / 255.0
+  }
+
+  /** Scale to exactly (w1, h1) with bilinear interpolation. */
+  def scaleTo(img: BufferedImage, w1: Int, h1: Int): BufferedImage = {
+    val out = new BufferedImage(w1, h1, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w1, h1, null)
+    } finally g.dispose()
+    out
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic tiny test image: a seeded color-gradient pattern, so the
+    * fixture synthesizer can mint unique-but-reproducible real PNGs per row.
+    */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // cheap avalanche mix of (seed, x, y) → stable per-pixel color
+        var z = seed + x * 0x9e3775cb97f4a7c5L + y * 0xc2b2ae3d27d4eb4fL
+        z = (z ^ (z >>> 31)) * 0x7fb5d329728ea185L
+        z ^= z >>> 29
+        img.setRGB(x, y, (z & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+}
+
+object AudioCodec {
+
+  /** Encode doubles in [-1, 1] as 16-bit signed little-endian mono WAV. */
+  def encodeWavPcm16(samples: Array[Double], hz: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-1.0, math.min(1.0, samples(i)))
+      val v = math.round(s * 32767.0).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(hz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decode a WAV payload to (samples in [-1, 1], sample rate). None for
+    * non-WAV / unsupported encodings (only 16-bit mono PCM is accepted —
+    * the fixture's own format; a production codec layer would convert).
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Array[Double], Int)] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val out = new Array[Double](n)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val lo = pcm(i * 2) & 0xff
+          val hi = pcm(i * 2 + 1) & 0xff
+          val v = if (be) ((lo << 8) | hi).toShort else ((hi << 8) | lo).toShort
+          out(i) = v / 32768.0
+          i += 1
+        }
+        Some((out, fmt.getSampleRate.toInt))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic test tone: two seeded harmonics, amplitude < 1. */
+  def synthWav(seed: Long, nSamples: Int, hz: Int): Array[Byte] = {
+    val f1 = 100.0 + math.floorMod(seed, 300)
+    val f2 = 500.0 + math.floorMod(seed >> 8, 1500)
+    val samples = Array.tabulate(nSamples) { i =>
+      val t = i.toDouble / hz
+      0.5 * math.sin(2 * math.Pi * f1 * t) + 0.3 * math.sin(2 * math.Pi * f2 * t)
+    }
+    encodeWavPcm16(samples, hz)
+  }
+}

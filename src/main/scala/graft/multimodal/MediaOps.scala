@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -14,39 +15,43 @@ import org.apache.spark.sql.functions._
   *   - payload bytes flow executor-local only; nothing collects to the
   *     driver;
   *   - metadata-only pipelines (filters on media_type/width/duration)
-  *     never touch `content` — Parquet column pruning skips the heavy
-  *     column entirely;
+  *     never touch `content` — the media table is real parquet, so column
+  *     pruning skips the heavy binary column entirely;
   *   - repartition knob on decode: media payloads are large and skewed, so
   *     decode fans out to `parallelism` partitions sized for executor
   *     memory, independent of the upstream file layout.
   *
-  * STUB NOTE: this container ships no image/audio/video codecs, so the
-  * byte→pixels/samples step inside each operator is a clearly-marked
-  * deterministic fake (`FakeCodec`). The Spark-side contract — schemas,
-  * encoders, partitioning, per-partition batching — is real and tested;
-  * swapping FakeCodec for a real codec changes no plumbing.
+  * CODEC STATUS: the image path is REAL — payloads are actual PNG bytes,
+  * decoded with JDK `javax.imageio` (dims, Rec.601 luminance, bilinear
+  * resize + re-encode). The audio path is REAL — payloads are RIFF/WAVE
+  * 16-bit PCM, decoded with JDK `javax.sound.sampled` (per-chunk RMS over
+  * true samples). Video frame *decode* and the feature-extraction encoder
+  * remain deterministic stubs (`FakeCodec`) — the JDK has no video demuxer
+  * and no vision model; the mapPartitions plumbing around them is the real
+  * shape a production codec would drop into.
   */
 object MediaOps {
 
-  /** Deterministic stand-in for a real media codec. Derives stable pseudo
-    * content properties from the payload bytes, so pipelines are testable
-    * end-to-end without native decoders.
+  /** Deterministic stand-in for the codec surface the JDK cannot provide:
+    * video frame seek/decode and the learned feature-extraction encoder.
+    * Also the documented fallback when a payload fails real decode, so
+    * corrupt bytes degrade instead of failing a partition.
     */
   object FakeCodec {
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      // ??? real impl: ImageIO/libjpeg decode — container has no codecs.
+      // fallback only — real images take the ImageCodec path.
       val h = java.util.Arrays.hashCode(bytes)
       (math.floorMod(h, 1024) + 32, math.floorMod(h >> 10, 1024) + 32)
     }
 
     def meanLuma(bytes: Array[Byte]): Double = {
-      // ??? real impl: average pixel luminance after decode.
+      // fallback only — real images take the ImageCodec path.
       if (bytes.isEmpty) 0.0
       else bytes.iterator.map(b => (b & 0xff).toDouble).sum / bytes.length / 255.0
     }
 
     def decodeSamples(bytes: Array[Byte], from: Int, until: Int): Array[Double] = {
-      // ??? real impl: PCM decode + resample of the byte range. Fake:
+      // fallback only — real WAV payloads take the AudioCodec path. Fake:
       // centered byte amplitudes in [-1, 1], stable per position.
       (from until math.min(until, bytes.length)).map { i =>
         ((bytes(i) & 0xff) - 128) / 128.0
@@ -54,8 +59,9 @@ object MediaOps {
     }
 
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
-      // ??? real impl: vision/audio encoder forward pass. Fake: bucketed
-      // byte histogram, L2-normalized — deterministic and non-degenerate.
+      // ??? real impl: vision/audio encoder forward pass (a model, not a
+      // codec — out of scope offline). Fake: bucketed byte histogram,
+      // L2-normalized — deterministic and non-degenerate.
       val acc = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) {
@@ -68,7 +74,9 @@ object MediaOps {
   }
 
   /** Decode image payloads to (dims, pixel stats). One codec instance per
-    * partition; payloads repartitioned to bound per-task memory.
+    * partition; payloads repartitioned to bound per-task memory. Real
+    * ImageIO decode; non-decodable payloads degrade to the FakeCodec
+    * fallback instead of failing the task.
     */
   def decodeImages(media: Dataset[MediaItem], parallelism: Int = 0): Dataset[DecodedImage] = {
     val spark = media.sparkSession
@@ -77,30 +85,49 @@ object MediaOps {
     parted
       .filter(col("media_type").startsWith("image/"))
       .mapPartitions { it =>
-        // per-partition: real impl allocates the native decoder HERE, once.
         it.map { m =>
-          val (w0, h0) = if (m.width > 0 && m.height > 0) (m.width, m.height)
-            else FakeCodec.decodeDims(m.content)
-          DecodedImage(m.media_id, w0, h0, w0.toLong * h0,
-            FakeCodec.meanLuma(m.content))
+          ImageCodec.decode(m.content) match {
+            case Some(img) =>
+              DecodedImage(m.media_id, img.getWidth, img.getHeight,
+                img.getWidth.toLong * img.getHeight, ImageCodec.meanLuma(img))
+            case None =>
+              val (w0, h0) = if (m.width > 0 && m.height > 0) (m.width, m.height)
+                else FakeCodec.decodeDims(m.content)
+              DecodedImage(m.media_id, w0, h0, w0.toLong * h0,
+                FakeCodec.meanLuma(m.content))
+          }
         }
       }
   }
 
-  /** Resize: recompute target dims preserving aspect, emit new MediaItem
-    * with updated metadata (payload re-encode is part of the codec stub).
+  /** Resize: decode, scale the longer side down to `maxSide` preserving
+    * aspect (never upscale), re-encode PNG. Already-small images keep their
+    * original bytes (no pointless re-encode), which also makes resize
+    * idempotent at the same maxSide.
     */
   def resize(media: Dataset[MediaItem], maxSide: Int): Dataset[MediaItem] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (w0, h0) = if (m.width > 0 && m.height > 0) (m.width, m.height)
-          else FakeCodec.decodeDims(m.content)
-        val scale = math.min(1.0, maxSide.toDouble / math.max(w0, h0))
-        val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
-        // ??? real impl: decode → scale → re-encode payload. Fake keeps bytes.
-        m.copy(width = w1, height = h1)
+        ImageCodec.decode(m.content) match {
+          case Some(img) =>
+            val (w0, h0) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w0, h0))
+            if (scale >= 1.0) m.copy(width = w0, height = h0)
+            else {
+              val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+              m.copy(content = ImageCodec.encodePng(ImageCodec.scaleTo(img, w1, h1)),
+                width = w1, height = h1)
+            }
+          case None =>
+            // non-image payloads: metadata-only rescale (fallback path)
+            val (w0, h0) = if (m.width > 0 && m.height > 0) (m.width, m.height)
+              else FakeCodec.decodeDims(m.content)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w0, h0))
+            val (w1, h1) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+            m.copy(width = w1, height = h1)
+        }
       }
     }
   }
@@ -131,8 +158,8 @@ object MediaOps {
           val dur = if (m.duration_ms > 0) m.duration_ms else 1000L
           (0 until n).iterator.map { i =>
             val ts = dur * i / n
-            // ??? real impl: seek+decode the frame at ts. Fake: a stable
-            // byte slice keyed by frame index.
+            // ??? real impl: seek+decode the frame at ts (no JDK demuxer).
+            // Fake: a stable byte slice keyed by frame index.
             val len = math.max(1, m.content.length / n)
             val off = math.min(i * len, math.max(0, m.content.length - len))
             Frame(m.media_id, i, ts,
@@ -144,7 +171,9 @@ object MediaOps {
 
   /** Split audio payloads into fixed-duration chunks and compute per-chunk
     * signal stats (RMS) — the audio-modality batch op (flatMap-shaped like
-    * sampleFrames: bounded fan-out, executor-local decode).
+    * sampleFrames: bounded fan-out, executor-local decode). WAV payloads
+    * get a real PCM decode (duration and chunk boundaries from the actual
+    * samples); non-WAV payloads degrade to the byte-amplitude fallback.
     */
   def chunkAudio(media: Dataset[MediaItem], chunkMs: Long): Dataset[AudioChunk] = {
     val spark = media.sparkSession
@@ -152,43 +181,93 @@ object MediaOps {
     media
       .filter(col("media_type").startsWith("audio/"))
       .mapPartitions { it =>
-        // per-partition: real impl allocates the audio decoder HERE, once.
+        // per-partition: the decoder allocates HERE, once per batch.
         it.flatMap { m =>
-          val dur = if (m.duration_ms > 0) m.duration_ms else math.max(1L, m.content.length.toLong)
-          val nChunks = ((dur + chunkMs - 1) / chunkMs).toInt
-          (0 until nChunks).iterator.map { i =>
-            val startMs = i * chunkMs
-            val endMs = math.min(dur, (i + 1) * chunkMs)
-            // byte range proportional to the time range
-            val from = (m.content.length.toLong * startMs / dur).toInt
-            val until = math.max(from + 1, (m.content.length.toLong * endMs / dur).toInt)
-            val samples = FakeCodec.decodeSamples(m.content, from, until)
-            val rms =
-              if (samples.isEmpty) 0.0
-              else math.sqrt(samples.iterator.map(s => s * s).sum / samples.length)
-            AudioChunk(m.media_id, i, startMs, endMs, samples.length, rms)
+          AudioCodec.decodeWavPcm16(m.content) match {
+            case Some((samples, hz)) =>
+              val dur = math.max(1L, samples.length.toLong * 1000 / hz)
+              val nChunks = ((dur + chunkMs - 1) / chunkMs).toInt
+              (0 until nChunks).iterator.map { i =>
+                val startMs = i * chunkMs
+                val endMs = math.min(dur, (i + 1) * chunkMs)
+                val from = (startMs * hz / 1000).toInt
+                val until = math.min(samples.length, math.max(from + 1, (endMs * hz / 1000).toInt))
+                var ss = 0.0
+                var j = from
+                while (j < until) { ss += samples(j) * samples(j); j += 1 }
+                val nS = until - from
+                AudioChunk(m.media_id, i, startMs, endMs, nS,
+                  if (nS > 0) math.sqrt(ss / nS) else 0.0)
+              }
+            case None =>
+              val dur = if (m.duration_ms > 0) m.duration_ms else math.max(1L, m.content.length.toLong)
+              val nChunks = ((dur + chunkMs - 1) / chunkMs).toInt
+              (0 until nChunks).iterator.map { i =>
+                val startMs = i * chunkMs
+                val endMs = math.min(dur, (i + 1) * chunkMs)
+                val from = (m.content.length.toLong * startMs / dur).toInt
+                val until = math.max(from + 1, (m.content.length.toLong * endMs / dur).toInt)
+                val samples = FakeCodec.decodeSamples(m.content, from, until)
+                val rms =
+                  if (samples.isEmpty) 0.0
+                  else math.sqrt(samples.iterator.map(s => s * s).sum / samples.length)
+                AudioChunk(m.media_id, i, startMs, endMs, samples.length, rms)
+              }
           }
         }
       }
   }
 
-  /** Build a MediaItem dataset from the documents fixture (payload = UTF-8
-    * bytes), so the multimodal pipeline is exercisable on shipped testdata.
+  /** Media fixture over the documents table: REAL payloads — tiny PNGs for
+    * image rows, 16-bit PCM WAV tones for audio rows (both seeded from
+    * `xxhash64(text)`, so content is deterministic regardless of
+    * partitioning), UTF-8 text bytes for video rows (opaque; no JDK video
+    * encoder). Materialized once per scale factor to a parquet cache and
+    * read back, so (a) payload synthesis costs once, not per query, and
+    * (b) the media table is a genuine parquet source — metadata-only
+    * queries prune the binary column at the scan.
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
-    graft.ops.tbl(spark, dir, "documents")
-      .select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 5 === 0, lit("video/fake"))
-          .when(col("doc_id") % 5 === 1, lit("audio/fake"))
-          .otherwise(concat(lit("image/fake-"), col("lang"))).as("media_type"),
-        encode(col("text"), "UTF-8").as("content"),
-        lit(-1).as("width"), lit(-1).as("height"),
-        // timed media carries a (fake) duration; images stay unknown
-        when(col("doc_id") % 5 <= 1, col("n_chars") * 10).otherwise(lit(-1L))
-          .cast("long").as("duration_ms"),
-        lit(new Timestamp(0L)).as("captured_at"))
-      .as[MediaItem]
+    val cache = Paths.get(sys.props("java.io.tmpdir"),
+      "graft-media-fixture-v2", Paths.get(dir).getFileName.toString)
+    if (!Files.exists(cache)) synchronized {
+      if (!Files.exists(cache)) {
+        val tmp = cache.resolveSibling(cache.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
+        graft.ops.tbl(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            xxhash64(col("text")).as("seed"), encode(col("text"), "UTF-8").as("text_bytes"))
+          .as[(Long, Long, Long, Array[Byte])]
+          .mapPartitions { it =>
+            val ts0 = new Timestamp(0L)
+            it.map { case (id, nChars, seed, textBytes) =>
+              math.floorMod(id, 5).toInt match {
+                case 0 => // video: opaque payload, metadata-declared duration
+                  MediaItem(id, "video/fake", textBytes, -1, -1, nChars * 10, ts0)
+                case 1 => // audio: real WAV; duration capped to bound fixture size
+                  val durMs = math.max(500L, math.min(nChars * 10, 2000L))
+                  val hz = 4000
+                  MediaItem(id, "audio/wav",
+                    AudioCodec.synthWav(seed, (durMs * hz / 1000).toInt, hz),
+                    -1, -1, durMs, ts0)
+                case _ => // image: real PNG, dims discovered by decode
+                  val w = 32 + math.floorMod(seed, 33).toInt
+                  val h = 32 + math.floorMod(seed >> 16, 33).toInt
+                  MediaItem(id, "image/png", ImageCodec.synthPng(seed, w, h),
+                    -1, -1, -1L, ts0)
+              }
+            }
+          }
+          .write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, cache, StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost a cross-JVM race: the winner's cache is equivalent
+          case _: Exception if Files.exists(cache) =>
+            import scala.jdk.CollectionConverters._
+            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+    spark.read.parquet(cache.toString).as[MediaItem]
   }
 }

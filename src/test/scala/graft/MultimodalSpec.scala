@@ -108,7 +108,70 @@ class MultimodalSpec extends SparkSpec {
     val q = media.toDF().filter(col("media_type").startsWith("video/"))
       .select("media_id", "media_type")
     val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("ReadSchema") && !scan.contains("text"),
-      "payload source column must be pruned from a metadata-only query")
+    assert(scan.contains("ReadSchema") && !scan.contains("content"),
+      "payload binary column must be pruned from a metadata-only query")
+  }
+
+  // --- real-codec assertions (JDK ImageIO / javax.sound) ---
+
+  private def item(id: Long, mt: String, bytes: Array[Byte]): MediaItem =
+    MediaItem(id, mt, bytes, -1, -1, -1L, new java.sql.Timestamp(0L))
+
+  test("decodeImages computes the exact Rec.601 luminance of a known PNG") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // black: 0
+    img.setRGB(1, 0, 0xffffff) // white: 1
+    img.setRGB(0, 1, 0xff0000) // red:   0.299
+    img.setRGB(1, 1, 0x0000ff) // blue:  0.114
+    val ds = Seq(item(1L, "image/png", ImageCodec.encodePng(img))).toDS()
+    val d = MediaOps.decodeImages(ds).collect().head
+    assert(d.width == 2 && d.height == 2 && d.n_pixels == 4L)
+    val expected = (0.0 + 1.0 + 0.299 + 0.114) / 4
+    assert(math.abs(d.mean_luma - expected) < 1e-12,
+      s"PNG roundtrip is lossless; got ${d.mean_luma}, want $expected")
+  }
+
+  test("resize really rescales pixels: payload re-decodes at the new dims") {
+    val img = new java.awt.image.BufferedImage(60, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 60) img.setRGB(x, y, (x * 4) << 16 | (y * 8))
+    val ds = Seq(item(2L, "image/png", ImageCodec.encodePng(img))).toDS()
+    val out = MediaOps.resize(ds, maxSide = 16).collect().head
+    assert(out.width == 16 && out.height == 8)
+    val redecoded = ImageCodec.decode(out.content)
+    assert(redecoded.exists(i => i.getWidth == 16 && i.getHeight == 8),
+      "resized payload must be a real PNG at the scaled dims")
+  }
+
+  test("chunkAudio computes true RMS from decoded PCM samples") {
+    val wav = AudioCodec.encodeWavPcm16(Array.fill(2000)(0.5), hz = 4000)
+    val ds = Seq(item(3L, "audio/wav", wav)).toDS()
+    val chunks = MediaOps.chunkAudio(ds, chunkMs = 250L).collect().sortBy(_.chunk_idx)
+    assert(chunks.length == 2) // 2000 samples @4kHz = 500 ms
+    chunks.foreach { c =>
+      assert(c.n_samples == 1000)
+      assert(math.abs(c.rms - 0.5) < 1e-3, // 16-bit quantization tolerance
+        s"constant 0.5 signal must have RMS 0.5, got ${c.rms}")
+    }
+  }
+
+  test("WAV codec roundtrip preserves samples to 16-bit precision") {
+    val samples = Array.tabulate(512)(i => math.sin(i * 0.1) * 0.8)
+    val decoded = AudioCodec.decodeWavPcm16(AudioCodec.encodeWavPcm16(samples, 8000))
+    assert(decoded.isDefined)
+    val (back, hz) = decoded.get
+    assert(hz == 8000 && back.length == 512)
+    // quantization (1/2 LSB) + 32767-encode/32768-decode scale mismatch
+    samples.zip(back).foreach { case (a, b) => assert(math.abs(a - b) <= 2.0 / 32768) }
+  }
+
+  test("fixture payloads are genuinely decodable media") {
+    val rows = media.collect()
+    val images = rows.filter(_.media_type.startsWith("image/"))
+    val audios = rows.filter(_.media_type.startsWith("audio/"))
+    assert(images.nonEmpty && audios.nonEmpty)
+    images.foreach(m => assert(ImageCodec.decode(m.content).isDefined,
+      s"media ${m.media_id}: image payload must decode with ImageIO"))
+    audios.foreach(m => assert(AudioCodec.decodeWavPcm16(m.content).isDefined,
+      s"media ${m.media_id}: audio payload must decode as PCM16 WAV"))
   }
 }
