@@ -49,16 +49,25 @@ object Dedup {
     * definition, so the cross-tier "same shingles" equivalence cannot
     * drift.
     */
-  private[ops] def shingleHashStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[ops] def shingleHashStream(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingleHashStreamPos(docs, 3).select("doc_id", "h1")
+
+  /** Position-carrying generalization: 64-bit hashes of the k-token
+    * shingles of a (doc_id, text) frame as (doc_id, pos, h1), where `pos`
+    * is the 0-based token offset the span starts at — the column substring-
+    * level dedup needs to LOCATE a repeated span, not just count it. Docs
+    * shorter than k tokens contribute one whole-doc shingle at pos 0
+    * (get() returns null past the end; xxhash64 skips nulls — ANSI-safe).
+    */
+  def shingleHashStreamPos(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     val th = col("th")
     docs
       .select(col("doc_id"),
         transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), explode(
-        // get() (0-based) returns null past the end — ANSI-safe for the
-        // whole-doc shingle of 1/2-token docs, where xxhash64 skips nulls
-        transform(sequence(lit(0), greatest(size(th) - 3, lit(0))),
-          i => xxhash64(get(th, i), get(th, i + 1), get(th, i + 2)))).as("h1"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), greatest(size(th) - k, lit(0))),
+          i => xxhash64((0 until k).map(o => get(th, i + o)): _*))))
+      .withColumnRenamed("col", "h1")
   }
 
   /** Per-document MinHash signature (NumHashes longs) over a
@@ -114,7 +123,19 @@ object Dedup {
     * graph; the driver only checks an O(1)-row convergence aggregate.
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
-      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** connectedComponents plus the number of rounds it took to converge
+    * (including the final confirming round) — the measurable the scale
+    * tests pin the O(log diameter) claim with. Empirical bound for this
+    * formulation (one-hop min-propagation + one pointer jump per round):
+    * ≤ 2·log₂(diameter) + 2 rounds on a pure path — each round extends
+    * reach one hop and halves existing label chains, so the constant is 2,
+    * not 1.
+    */
+  def connectedComponentsWithRounds(pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int = 20): (org.apache.spark.sql.DataFrame, Int) = {
     // Undirected edge list, both directions, PLUS a self-loop per node: the
     // self-loop makes "min over neighborhood" include the node's own label,
     // so each round is ONE join + ONE aggregate (two joins per round
@@ -176,7 +197,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter); raise maxIter")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), it)
   }
 
   val all: Seq[Q] = Seq(
@@ -245,6 +266,10 @@ object Dedup {
       // covering buckets, the right row sits in exactly one — no dup
       // pairs, no nested loop; the plan audit rejects the naive theta-join
       // formulation). The O(n·m) DP runs only on length-compatible pairs.
+      // DECLARED SCOPE: the query caps the input at doc_id < 40 — the
+      // character-level DP is O(len²) per surviving pair and is honestly
+      // a small-set tier (fuzzy-match a bounded blocklist, not a corpus);
+      // the corpus-scale near-dup paths are the MinHash/SimHash tiers.
       "q_edit_distance",
       (s, d) => {
         val k = 20L
@@ -332,7 +357,13 @@ object Dedup {
       // dedup tiers (Dedup.shingleHashStream).
       "q_decontaminate",
       (s, d) => {
+        // localCheckpoint: `sh` feeds both the (broadcast) benchmark side
+        // and the corpus side; a broadcast leaves no exchange for
+        // ReuseExchange to share, so without it the scan+shingle pipeline
+        // executes twice. Non-reliable storage tradeoff documented at
+        // TextOps.jaccardPairs (same pattern).
         val sh = shingleHashStream(tbl(s, d, "documents").select("doc_id", "text"))
+          .localCheckpoint(eager = false)
         val bench = sh.filter(col("doc_id") < 20).select("h1").distinct()
         sh.filter(col("doc_id") >= 20)
           .join(broadcast(bench), Seq("h1"))
@@ -355,6 +386,65 @@ object Dedup {
              |WHERE s.doc_id >= 20
              |GROUP BY s.doc_id
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Substring-level exact dedup (dedup of training SPANS, not whole
+      // documents — the standard tier whole-doc dedup misses): flag every
+      // document containing a k-token span that also occurs in another
+      // document, with the span count and the first repeated position.
+      // Shape at 100 TB: distinct (span-hash, doc) then a per-hash doc
+      // count — both stages map-side combinable, shuffling 8-byte hashes,
+      // never span text; the dup-span set joins back by hash (an equi-join
+      // AQE broadcasts when the dup set is small, and that degrades to a
+      // plain hash-shuffle join when it isn't — no plan rewrite needed).
+      // The spans frame feeds three consumers (dup set, hit join, per-doc
+      // totals) → localCheckpoint, same rationale as jaccardPairs.
+      "q_substring_dedup",
+      (s, d) => {
+        val k = 8
+        val spans = shingleHashStreamPos(
+            tbl(s, d, "documents").select("doc_id", "text"), k)
+          .localCheckpoint(eager = false)
+        val dup = spans.select("h1", "doc_id").distinct()
+          .groupBy("h1").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("h1")
+        spans.join(dup, Seq("h1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            min(col("pos")).cast("long").as("first_dup_pos"))
+          .join(spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            col("first_dup_pos"),
+            (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+              .as("dup_ratio"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      // oracle builds the SAME k-token spans as strings (counts identical
+      // modulo a 64-bit hash collision, as with q_decontaminate)
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(l) >= 8
+             |    THEN [{'pos': i - 1, 'tok': array_to_string(l[i:i+7], ' ')}
+             |          FOR i IN range(1, len(l) - 6)]
+             |    ELSE [{'pos': 0, 'tok': array_to_string(l, ' ')}] END) AS u
+             |  FROM t),
+             |s2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM sh),
+             |dup AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(DISTINCT doc_id) AS nd FROM s2 GROUP BY tok)
+             |  WHERE nd >= 2),
+             |hits AS (
+             |  SELECT doc_id, COUNT(*) AS n_dup_spans,
+             |    CAST(MIN(pos) AS BIGINT) AS first_dup_pos
+             |  FROM s2 WHERE tok IN (SELECT tok FROM dup) GROUP BY doc_id),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM s2 GROUP BY doc_id)
+             |SELECT h.doc_id, t2.n_spans, h.n_dup_spans, h.first_dup_pos,
+             |  CAST(h.n_dup_spans AS DOUBLE) / t2.n_spans AS dup_ratio
+             |FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
+             |ORDER BY h.doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -47,6 +47,15 @@ object Pipeline {
     df.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** PII scrub stage: record the audit hit-count, then redact — via the
+    * reusable TextOps.scrubPii/piiHits, ONE definition shared with
+    * q_pii_scrub. Pure projection: composes into the pipeline with no
+    * shuffle and no extra pass over the corpus.
+    */
+  def scrubStage(df: DataFrame): DataFrame =
+    df.withColumn("pii_hits", TextOps.piiHits(col("text")))
+      .withColumn("text", TextOps.scrubPii(col("text")))
+
   /** Reproducible 80/10/10 train/val/test assignment (see q_split_assign
     * for the overflow-safe hash rationale).
     */
@@ -75,6 +84,51 @@ object Pipeline {
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
              |FROM k WHERE doc_id = min_id
              |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // The cleaning pipeline with the PII scrub stage composed in,
+      // applied CORPUS-WIDE to the document text column (not a side
+      // column): gate → dedup → scrub → per-lang audit rollup. The
+      // synthetic corpus carries no organic PII, so a contact span is
+      // appended to every document's text first (same convention as
+      // q_pii_scrub) — every row then exercises a real match, and the
+      // aggregate proves the redaction ran: total_pii counts what was
+      // found, scrubbed_chars measures the text AFTER replacement.
+      "q_pipeline_scrubbed",
+      (s, d) => {
+        val withContact = tbl(s, d, "documents").withColumn("text",
+          concat(col("text"), lit(" contact "), col("source"), lit("@"),
+            col("lang"), lit(".example.com id "), col("doc_id").cast("string")))
+        scrubStage(exactDedup(qualityGate(withContact)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("doc_cnt"),
+            sum(col("pii_hits")).cast("long").as("total_pii"),
+            sum(length(col("text"))).cast("long").as("scrubbed_chars"))
+          .orderBy(asc_nulls_first("lang"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, lang,
+             |    text || ' contact ' || source || '@' || lang ||
+             |      '.example.com id ' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents),
+             |q AS (
+             |  SELECT * FROM c
+             |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+             |k AS (
+             |  SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS min_id FROM q),
+             |s AS (
+             |  SELECT lang,
+             |    len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+             |    len(regexp_extract_all(text, '[0-9]{3,}')) AS pii_hits,
+             |    regexp_replace(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '[0-9]{3,}', '[NUM]', 'g') AS scrubbed
+             |  FROM k WHERE doc_id = min_id)
+             |SELECT lang, COUNT(*) AS doc_cnt,
+             |  CAST(SUM(pii_hits) AS BIGINT) AS total_pii,
+             |  CAST(SUM(len(scrubbed)) AS BIGINT) AS scrubbed_chars
+             |FROM s GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       "q_pipeline_full",

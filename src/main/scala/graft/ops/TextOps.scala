@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** PII patterns, in the regex dialect shared by Java regex (Spark's
+    * regexp_* compile with java.util.regex) and RE2 (DuckDB / Go scrubbers):
+    * character classes, bounded repetition, no lookarounds — so the SAME
+    * pattern strings drive both the engine and the oracle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9]{3,}"
+
+  /** Redact PII from ANY text column: emails → [EMAIL], then 3+-digit runs
+    * (phone/SSN/account fragments) → [NUM]. Email first, so digits inside
+    * an address are swallowed by [EMAIL], not half-replaced. Pure codegen'd
+    * projection — composable into any pipeline stage at any scale.
+    */
+  def scrubPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "[EMAIL]"),
+      LongDigitPattern, "[NUM]")
+
+  /** Total PII hit count (emails + long digit runs) in a text column —
+    * the audit metric a scrub stage reports alongside the redaction.
+    */
+  def piiHits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(c, lit(LongDigitPattern), lit(0)))).cast("long")
+
   /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
     * (doc_id, token) frame via inverted-index equi-join on token — the
     * token can be a word, an n-gram shingle, or any fingerprint unit.
@@ -50,7 +74,12 @@ object TextOps {
     // (measured 4 full shingle passes at sf0.1, ~40% of query time).
     // Same bounded-materialization pattern as the Dedup iterations; the
     // checkpointed set is (doc_id, 8-byte hash) — far smaller than the
-    // corpus it came from.
+    // corpus it came from. Tradeoff: localCheckpoint truncates lineage
+    // into non-reliable executor-local storage — losing an executor
+    // (spot kill, dynamic deallocation) fails the query instead of
+    // recomputing. For production 100 TB runs on preemptible fleets,
+    // swap for persist(MEMORY_AND_DISK_2) or reliable checkpointing;
+    // the recompute-vs-replication call is deployment-specific.
     val sh0 = tokens.select(col("doc_id"), xxhash64(col("token")).as("token"))
       .distinct()
       .localCheckpoint(eager = false)
@@ -411,19 +440,16 @@ object TextOps {
       // runs. Pure projection: codegen'd, no shuffle, scales linearly.
       "q_pii_scrub",
       (s, d) => {
-        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val numPat = "[0-9]{3,}"
         val contact = concat(col("source"), lit("@"), col("lang"),
           lit(".example.com user "), col("doc_id").cast("string"))
         tbl(s, d, "documents")
           .select(col("doc_id"), contact.as("contact"))
           .select(
             col("doc_id"),
-            regexp_replace(regexp_replace(col("contact"), emailPat, "[EMAIL]"),
-              numPat, "[NUM]").as("scrubbed"),
-            size(regexp_extract_all(col("contact"), lit(emailPat), lit(0)))
+            scrubPii(col("contact")).as("scrubbed"),
+            size(regexp_extract_all(col("contact"), lit(EmailPattern), lit(0)))
               .cast("long").as("n_emails"),
-            size(regexp_extract_all(col("contact"), lit(numPat), lit(0)))
+            size(regexp_extract_all(col("contact"), lit(LongDigitPattern), lit(0)))
               .cast("long").as("n_nums"))
           .orderBy(asc_nulls_first("doc_id"))
       },

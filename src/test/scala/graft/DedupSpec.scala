@@ -107,6 +107,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a < 50 && b < 50 })
   }
 
+  test("q_substring_dedup locates a planted cross-doc span at its exact positions") {
+    // doc 1 carries an 8-token span at token offset 3; doc 2 carries the
+    // SAME span at offset 0; doc 3 shares nothing. k=8 → only the one
+    // aligned shingle of each carrier matches across docs.
+    val span = (0 until 8).map(i => s"S$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"a1 a2 a3 $span t1 t2 t3 t4", "en", "s", 10L),
+      (2L, s"$span z1 z2 z3 z4 z5 z6 z7", "en", "s", 10L),
+      (3L, (0 until 16).map(i => s"u$i").mkString(" "), "en", "s", 10L))
+    val dir = Files.createTempDirectory("substr").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("q_substring_dedup")(spark, dir)
+      .select("doc_id", "n_spans", "n_dup_spans", "first_dup_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // each carrier has 15 tokens → 8 spans; exactly one is the planted one
+    assert(out == Seq((1L, 8L, 1L, 3L), (2L, 8L, 1L, 0L)),
+      s"planted span must be flagged at pos 3 (doc 1) and pos 0 (doc 2): $out")
+
+    // the position column itself: the flagged shingle hash is identical
+    // across both docs at those offsets
+    val spans = graft.ops.Dedup.shingleHashStreamPos(
+        Seq((1L, s"a1 a2 a3 $span t1 t2 t3 t4"), (2L, s"$span z1 z2 z3 z4 z5 z6 z7"))
+          .toDF("doc_id", "text"), 8)
+      .as[(Long, Int, Long)].collect()
+    val h1 = spans.collectFirst { case (1L, 3, h) => h }
+    val h2 = spans.collectFirst { case (2L, 0, h) => h }
+    assert(h1.isDefined && h1 == h2, "same span, same hash, position-addressed")
+  }
+
   test("q_simhash_dedup groups identical texts") {
     val rows = Seq(
       (1L, "alpha beta gamma delta", "en", "s", 10L),
