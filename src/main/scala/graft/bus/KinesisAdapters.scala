@@ -59,15 +59,34 @@ object KinesisAdapters {
     /** The exact option map handed to the pinned connector — exposed so the
       * contract is offline-testable as data (the suite asserts this map
       * against the pinned lineage's documented keys, not just "fails
-      * mentioning kinesis"). `endpointUrl` is always present because the
-      * pinned lineage requires it and derives the region from it: when not
-      * given explicitly, it is the standard AWS regional endpoint for
-      * `region`.
+      * mentioning kinesis").
+      *
+      * Emitted key → the kinesis-sql lineage constant it mirrors
+      * (KinesisSourceProvider option names; drift in EITHER column is a
+      * contract break the offline suite must catch):
+      *
+      * | emitted key | lineage constant | meaning |
+      * |---|---|---|
+      * | `streamName` | STREAM_NAME_KEY | stream to read |
+      * | `endpointUrl` | END_POINT_URL | REQUIRED; region derives from it |
+      * | `startingposition` | STARTING_POSITION_KEY | latest / trim_horizon / earliest |
+      * | `kinesis.executor.maxFetchRecordsPerShard` | MAX_FETCH_RECORDS_PER_SHARD_KEY | per-shard fetch cap |
+      *
+      * `endpointUrl` is always present because the pinned lineage requires
+      * it: when not given explicitly, it is the standard AWS regional
+      * endpoint for `region`, with the partition suffix derived from the
+      * region prefix (`cn-*` regions live in the `.amazonaws.com.cn`
+      * partition). Other non-standard partitions (GovCloud endpoints
+      * follow the standard suffix; ISO partitions do not) must pass
+      * `endpointUrl` explicitly.
       */
     def connectorOptions: Map[String, String] = Map(
       "streamName" -> streamName,
-      "endpointUrl" -> endpointUrl.getOrElse(
-        s"https://kinesis.$region.amazonaws.com"),
+      "endpointUrl" -> endpointUrl.getOrElse {
+        val suffix =
+          if (region.startsWith("cn-")) "amazonaws.com.cn" else "amazonaws.com"
+        s"https://kinesis.$region.$suffix"
+      },
       "startingposition" -> startingPosition,
       "kinesis.executor.maxFetchRecordsPerShard" -> maxFetchRecordsPerShard.toString)
 

@@ -9,8 +9,8 @@ import graft.ops.{Pipeline, Scale}
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
   *   read → quality gate → exact dedup → MinHash-LSH near-dup removal →
-  *   deterministic sample → train/val/test split → (split, lang)-
-  *   partitioned parquet write
+  *   PII scrub → deterministic sample → train/val/test split →
+  *   (split, lang)-partitioned parquet write
   *
   * Every stage is a narrow filter, keyed window or bucketed join; the
   * output layout partition-prunes downstream reads. Run:
@@ -27,7 +27,7 @@ object TrainingPipelineExample {
 
     val raw = graft.ops.tbl(spark, sfDir, "documents")
 
-    // Stages 1-3 and 5 are Pipeline's OWN stage helpers — the example
+    // Stages 1-4 and 6 are Pipeline's OWN stage helpers — the example
     // demonstrates exactly what the declared queries verify, not a copy.
 
     // 1. quality gate: bounded token count (narrow filter, no shuffle)
@@ -39,14 +39,18 @@ object TrainingPipelineExample {
     // 3. near-dup removal: drop the higher id of each MinHash-LSH pair
     val neardup = Pipeline.nearDupRemoval(exact)
 
-    // 4. deterministic 50% sample: content-hash threshold (replay-stable)
-    val sampled = Scale.hashSample(neardup, 0.5, Seq("text"))
+    // 4. PII scrub: redact emails/digit runs, keep the audit hit count
+    //    (stateless projection — free to compose anywhere in the flow)
+    val scrubbed = Pipeline.scrubStage(neardup)
 
-    // 5. reproducible train/val/test split (same doc → same split, any
+    // 5. deterministic 50% sample: content-hash threshold (replay-stable)
+    val sampled = Scale.hashSample(scrubbed, 0.5, Seq("text"))
+
+    // 6. reproducible train/val/test split (same doc → same split, any
     //    cluster/partitioning — see q_split_assign)
     val assigned = Pipeline.splitAssign(sampled)
 
-    // 6. partitioned write: downstream per-split/per-lang reads prune dirs
+    // 7. partitioned write: downstream per-split/per-lang reads prune dirs
     Scale.partitionedWrite(assigned, outDir, Seq("split", "lang"))
 
     val counts = Seq(

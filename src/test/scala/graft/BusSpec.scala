@@ -323,6 +323,11 @@ class BusSpec extends SparkSpec {
       "endpointUrl" -> "https://kinesis.local:4566",
       "startingposition" -> "trim_horizon",
       "kinesis.executor.maxFetchRecordsPerShard" -> "77"))
+    // China-partition regions use the .amazonaws.com.cn endpoint suffix —
+    // the standard-suffix derivation would point at a nonexistent host
+    val cn = KinesisAdapters.source("events", "cn-north-1", cfg)
+    assert(cn.connectorOptions("endpointUrl") ==
+      "https://kinesis.cn-north-1.amazonaws.com.cn")
   }
 
   test("Kinesis binding wires config up to the connector boundary") {

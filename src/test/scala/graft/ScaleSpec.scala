@@ -122,6 +122,39 @@ class ScaleSpec extends SparkSpec {
     assert(again == s.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("connectedComponents at 1e5 edges: adversarial chain+star mix, O(log d) rounds") {
+    // The worst case for label propagation is a LONG path (a viral template
+    // chained doc-to-doc through a corpus); stars are the common case
+    // (micro-clusters around one template). Mix both at ~10^5 edges:
+    //   - one 1024-node chain → diameter 1023 (the round-count driver)
+    //   - 99 stars of 1000 leaves → 99_000 edges of diameter-2 clusters
+    val chainN = 1024
+    val chain = (0 until chainN - 1).map(i => (i.toLong, i.toLong + 1))
+    val stars = (0 until 99).flatMap { s =>
+      val center = 1_000_000L + s * 10_000L
+      (1 to 1000).map(l => (center, center + l))
+    }
+    val edges = (chain ++ stars).toDF("a_id", "b_id")
+    assert(edges.count() > 100_000 - 1000)
+
+    // Empirical round bound for this formulation: 2·log₂(diameter)+2
+    // (each round extends reach one hop AND halves label chains — the
+    // pointer-jump constant is 2; see connectedComponentsWithRounds).
+    // maxIter IS the assertion: one more round than the bound throws.
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(chainN - 1L)) + 2
+    val (labels, rounds) =
+      graft.ops.Dedup.connectedComponentsWithRounds(edges, maxIter = bound)
+
+    // correctness, checked DISTRIBUTED (the driver sees only these
+    // aggregate rows — no collect of the 10^5-node graph):
+    val byCluster = labels.groupBy("cluster_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byCluster(0L) == chainN, "whole chain collapses to min label 0")
+    assert(byCluster.count(_._2 == 1001L) == 99, "each star is one cluster")
+    assert(byCluster.size == 100, s"100 components, got ${byCluster.size}")
+    assert(rounds <= bound, s"$rounds rounds for diameter ${chainN - 1}")
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     Scale.partitionedWrite(

@@ -245,15 +245,21 @@ class SimilaritySpec extends SparkSpec {
       (0 until nBits).map { i =>
         if (fold(emb(v), planes(t * nBits + i)) >= 0) 1 << i else 0
       }.sum
-    val lshGap = (0L until 10L).map { p =>
+    val lshGapLists = (0L until 10L).map { p =>
       val cand = (0 until 8).flatMap { t =>
         val pb = bucketOf(p, 4, t)
         ids.filter(v => v != p && bucketOf(v, 4, t) == pb)
       }.distinct
-      // a probe whose buckets hold <=1 candidate has no adjacent-gap
-      // boundary to guard — Double.MaxValue, not empty.min's opaque throw
-      topGaps(cand.map(cosD(p, _))).minOption.getOrElse(Double.MaxValue)
-    }.min
+      topGaps(cand.map(cosD(p, _)))
+    }
+    // guard the guard: if EVERY probe's buckets hold <=1 candidate, the gap
+    // check below is vacuous — that is a bucketing regression (candidates
+    // vanished), not a margin pass
+    assert(lshGapLists.exists(_.nonEmpty),
+      "no probe produced any LSH bucket candidate gaps — bucketing regression")
+    // a probe whose buckets hold <=1 candidate has no adjacent-gap
+    // boundary to guard — Double.MaxValue, not empty.min's opaque throw
+    val lshGap = lshGapLists.map(_.minOption.getOrElse(Double.MaxValue)).min
     assert(lshGap >= xMargin,
       f"LSH candidate ranking gap collapsed to $lshGap%.3e at the top-6 boundary")
 

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingJoins
@@ -87,6 +88,71 @@ class StreamingJoinSpec extends SparkSpec {
       val rows = spark.table("ssenrich").select($"user", $"tier")
         .as[(Long, Option[String])].collect().toMap
       assert(rows == Map(1L -> Some("gold"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("decontamination works stream-side: static bench set, identical flags") {
+    // The q_decontaminate shape under readStream: the benchmark shingle-hash
+    // set is STATIC (bounded eval suite → broadcast), the corpus arrives as
+    // a stream, and the stream-static broadcast join flags contaminated
+    // docs per micro-batch with no corpus shuffle — the same plan the batch
+    // operator runs. Dedup of (doc, shingle) hits is the one stateful op;
+    // the per-doc rollup happens on the sink (downstream batch / update-
+    // mode agg in production). Parity oracle: the batch operator itself.
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)].collect().toSeq
+    val bench = graft.ops.Dedup.shingleHashStreamPos(docs.toDF("doc_id", "text"), 3)
+      .filter($"doc_id" < 20).select("h1").distinct()
+    val in = MemoryStream[(Long, String)](spark)
+    val flagged = graft.ops.Dedup
+      .shingleHashStreamPos(in.toDF().toDF("doc_id", "text"), 3)
+      .select("doc_id", "h1")
+      .filter($"doc_id" >= 20)
+      .join(broadcast(bench), Seq("h1"))
+      .dropDuplicates("doc_id", "h1")
+    val q = flagged.writeStream.format("memory").queryName("ssdecon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (first, second) = docs.splitAt(docs.size / 2)
+      in.addData(first: _*)
+      q.processAllAvailable()
+      in.addData(second: _*) // cross-batch arrival must not change flags
+      q.processAllAvailable()
+      val got = spark.table("ssdecon").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .as[(Long, Long)].collect().toMap
+      val want = query("q_decontaminate").as[(Long, Long)].collect().toMap
+      assert(got == want,
+        s"streaming flags must equal the batch operator's (${got.size} vs ${want.size} docs)")
+    } finally q.stop()
+  }
+
+  test("PII scrub runs stream-side: stateless projection, identical redaction") {
+    // scrubPii/piiHits are pure codegen'd projections, so they drop into a
+    // readStream pipeline unchanged — no state, no watermark, per-batch.
+    val docs = Seq(
+      (1L, "call 5551234 or mail a.user@host.example now"),
+      (2L, "clean text with no contact at all"),
+      (3L, "ids 987654321 and 1234 overlap x@y.zz"))
+    val in = MemoryStream[(Long, String)](spark)
+    val out = in.toDF().toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.TextOps.scrubPii($"text").as("scrubbed"),
+        graft.ops.TextOps.piiHits($"text").as("hits"))
+    val q = out.writeStream.format("memory").queryName("ssscrub")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssscrub")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val want = docs.toDF("doc_id", "text")
+        .select($"doc_id", graft.ops.TextOps.scrubPii($"text").as("scrubbed"),
+          graft.ops.TextOps.piiHits($"text").as("hits"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+      assert(got.map(_._3) == Seq(2L, 0L, 3L), "hit counts: 2 / 0 / 3")
+      assert(!got.exists(r => r._2.contains("5551234") || r._2.contains("@")),
+        "no raw PII survives the stream-side scrub")
     } finally q.stop()
   }
 
