@@ -21,7 +21,13 @@ object Multimodal {
     Q(
       "q_media_decode",
       (s, d) => {
-        MediaOps.decodeImages(MediaOps.mediaFromDocuments(s, d))
+        // fan the decode out to the full core count: the fixture parquet is
+        // one ~40 MB file = ONE scan partition, which would serialize the
+        // real per-image codec work (measured 2.4 s single-threaded vs
+        // ~0.4 s fanned out at sf0.1) — the exact skew the parallelism
+        // knob exists for at 100 TB.
+        MediaOps.decodeImages(MediaOps.mediaFromDocuments(s, d),
+            parallelism = s.sessionState.conf.numShufflePartitions)
           .toDF()
           .orderBy(asc_nulls_first("media_id"))
       },
