@@ -67,6 +67,31 @@ object ImageCodec {
     baos.toByteArray
   }
 
+  /** L2-normalized luminance histogram over the DECODED pixels — a real
+    * content descriptor: two encodings of the same pixels (PNG vs BMP)
+    * yield identical features, which no compressed-byte statistic can
+    * promise. A learned encoder would slot in here; the histogram is the
+    * model-free baseline.
+    */
+  def lumaHistogram(img: BufferedImage, dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        acc(math.min(dim - 1, (luma * dim / 256.0).toInt)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.sqrt(acc.iterator.map(v => v.toDouble * v.toDouble).sum)
+    if (n > 0) acc.map(v => (v / n).toFloat) else acc
+  }
+
   /** Deterministic tiny test image: a seeded color-gradient pattern, so the
     * fixture synthesizer can mint unique-but-reproducible real PNGs per row.
     */

@@ -133,14 +133,26 @@ object MediaOps {
   }
 
   /** Extract a fixed-dim feature vector per media item — the bridge into
-    * the similarity/ANN operators (graft.ops.Similarity).
+    * the similarity/ANN operators (graft.ops.Similarity). Decodable images
+    * get a CONTENT descriptor (luminance histogram over real pixels —
+    * invariant to the payload's encoding, unlike any byte statistic);
+    * other payloads fall back to the byte-histogram stub. A learned
+    * encoder would replace both kernels; the mapPartitions shape (load
+    * weights once per partition, batch the forward pass) is already the
+    * one it needs.
     */
   def extractFeatures(media: Dataset[MediaItem], dim: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition: real impl loads the encoder weights HERE, once.
-      it.map(m => MediaFeatures(m.media_id, FakeCodec.embed(m.content, dim)))
+      it.map { m =>
+        val f = ImageCodec.decode(m.content) match {
+          case Some(img) => ImageCodec.lumaHistogram(img, dim)
+          case None => FakeCodec.embed(m.content, dim)
+        }
+        MediaFeatures(m.media_id, f)
+      }
     }
   }
 

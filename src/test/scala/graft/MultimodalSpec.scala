@@ -164,6 +164,30 @@ class MultimodalSpec extends SparkSpec {
     samples.zip(back).foreach { case (a, b) => assert(math.abs(a - b) <= 2.0 / 32768) }
   }
 
+  test("image features are content-based: encoding-invariant, luma-faithful") {
+    // the SAME pixels encoded two ways (PNG vs BMP) must produce IDENTICAL
+    // features — true for a decoded-pixel descriptor, impossible for any
+    // statistic over the compressed bytes
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (x * 32) << 16 | (y * 32) << 8)
+    val png = ImageCodec.encodePng(img)
+    val bmp = { // BMP is uncompressed — a maximally different byte layout
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    assert(!java.util.Arrays.equals(png, bmp))
+    val ds = Seq(item(10L, "image/png", png), item(11L, "image/bmp", bmp)).toDS()
+    val f = MediaOps.extractFeatures(ds, dim = 64).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    assert(f(10L) == f(11L), "same pixels, same features, any encoding")
+    // luma fidelity: an all-black image puts all mass in bucket 0
+    val black = Seq(item(12L, "image/png", ImageCodec.encodePng(
+      new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)))).toDS()
+    val fb = MediaOps.extractFeatures(black, dim = 64).collect().head.features
+    assert(fb(0) == 1.0f && fb.drop(1).forall(_ == 0.0f))
+  }
+
   test("fixture payloads are genuinely decodable media") {
     val rows = media.collect()
     val images = rows.filter(_.media_type.startsWith("image/"))

@@ -136,7 +136,7 @@ class PlanAuditSpec extends SparkSpec
   // N times), so pin the tell-tale shapes instead: an index/slice applied
   // directly to an inline split(...) result.
   Seq("q_minhash_neardup", "q_jaccard_shingles", "q_doc_fingerprint",
-      "q_top_bigrams").foreach { name =>
+      "q_top_bigrams", "q_substring_dedup", "q_decontaminate").foreach { name =>
     test(s"$name never indexes an inline split (materialized token array)") {
       val plan = query(name).queryExecution.executedPlan.toString
       Seq("get(split(", "element_at(split(", "slice(split(").foreach { bad =>
