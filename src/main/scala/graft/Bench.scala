@@ -27,10 +27,13 @@ object Bench {
     // join+agg+checkpoint shape (q_embed_clusters) — without these,
     // q_embed_clusters bills ~12 s cold vs ~4 s warm plan cost and
     // distorts the round-over-round signal by ~8 s.
+    // …and q_media_decode: the media fixture materializes ONCE per scale
+    // factor (a ~3.5 s one-time synthesis at sf0.1 on a cold cache) —
+    // warming it here keeps that one-time cost out of the timed pass.
     Seq("q_sort_limit", "q_agg_group", "q_agg_distinct", "q_window_rank",
         "q_broadcast_join", "q_case_null", "q_explode_tokens",
         "q_json_extract", "q_sim_cosine_lsh", "q_doc_fingerprint",
-        "q_embed_clusters").foreach { n =>
+        "q_embed_clusters", "q_media_decode").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
