@@ -141,10 +141,12 @@ object MediaOps {
     * weights once per partition, batch the forward pass) is already the
     * one it needs.
     */
-  def extractFeatures(media: Dataset[MediaItem], dim: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaItem], dim: Int = 64,
+      parallelism: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    val parted = if (parallelism > 0) media.repartition(parallelism) else media
+    parted.mapPartitions { it =>
       // per-partition: real impl loads the encoder weights HERE, once.
       it.map { m =>
         val f = ImageCodec.decode(m.content) match {

@@ -59,7 +59,8 @@ object Multimodal {
       (s, d) => {
         // media → fixed-dim embedding → exact cosine top-3 for 5 probes:
         // the multimodal bridge into the similarity family.
-        val feats = MediaOps.extractFeatures(MediaOps.mediaFromDocuments(s, d))
+        val feats = MediaOps.extractFeatures(MediaOps.mediaFromDocuments(s, d),
+            parallelism = s.sessionState.conf.numShufflePartitions)
           .toDF()
           .select(col("media_id"), col("features"), norm(col("features")).as("nrm"))
         val probes = feats.filter(col("media_id") < 5)

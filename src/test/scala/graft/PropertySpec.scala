@@ -84,6 +84,31 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("substring-span dedup flags exactly the cross-doc repeated positions") {
+    // random corpora over a 5-token vocabulary (overlaps guaranteed):
+    // the hashed-span pipeline must flag exactly the (doc, pos) pairs a
+    // driver-side string-tuple reference flags
+    val docGen = Gen.listOfN(8, Gen.choose(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("t0", "t1", "t2", "t3", "t4"))))
+    check(Prop.forAll(docGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val spans = graft.ops.Dedup.shingleHashStreamPos(df, 3)
+        .as[(Long, Int, Long)].collect().toSeq
+      val truth = docs.zipWithIndex.flatMap { case (ts, i) =>
+        ts.sliding(3).zipWithIndex.map { case (s, p) => (i.toLong, p, s.mkString(" ")) }
+      }
+      val dupStr = truth.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val dupHash = spans.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val got = spans.filter(s => dupHash(s._3)).map(s => (s._1, s._2)).toSet
+      val want = truth.filter(t => dupStr(t._3)).map(t => (t._1, t._2)).toSet
+      Prop(got == want) :| s"flagged positions diverge: got $got want $want"
+    }, n = 10)
+  }
+
   test("hashSample nests and is rate-monotone for arbitrary rate pairs") {
     val docs = graft.ops.tbl(spark, sfDir, "documents")
       .select("doc_id", "text").cache()
