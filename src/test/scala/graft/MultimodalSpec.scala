@@ -188,6 +188,27 @@ class MultimodalSpec extends SparkSpec {
     assert(fb(0) == 1.0f && fb.drop(1).forall(_ == 0.0f))
   }
 
+  test("corrupt payloads degrade to the fallback, never fail the partition") {
+    // an image-typed row with undecodable bytes must yield a fallback
+    // record (metadata dims or byte-derived), not a task failure — at
+    // 100 TB a single corrupt blob must not kill a 10^6-row partition
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val ds = Seq(
+      item(20L, "image/png", junk), // claims PNG, is garbage
+      item(21L, "audio/wav", junk)) // claims WAV, is garbage
+      .toDS()
+    val imgs = MediaOps.decodeImages(ds).collect()
+    assert(imgs.length == 1 && imgs.head.media_id == 20L)
+    assert(imgs.head.width >= 32 && imgs.head.mean_luma >= 0.0 &&
+      imgs.head.mean_luma <= 1.0)
+    val chunks = MediaOps.chunkAudio(ds, 500L).collect()
+    assert(chunks.nonEmpty && chunks.forall(c => c.rms >= 0.0 && c.rms <= 1.0))
+    val resized = MediaOps.resize(ds, 16).collect()
+    assert(resized.length == 2 && resized.forall(m => m.width <= 16 || m.height <= 16))
+    val feats = MediaOps.extractFeatures(ds).collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == 64))
+  }
+
   test("fixture payloads are genuinely decodable media") {
     val rows = media.collect()
     val images = rows.filter(_.media_type.startsWith("image/"))
