@@ -468,6 +468,46 @@ object TextOps {
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Sliding-window text chunking — the embedding/RAG prep step: split
+      // each document into overlapping token windows (w=32, stride 16) so
+      // downstream encoders see bounded inputs with context overlap.
+      // Generator + narrow projection: no shuffle before the declared
+      // final sort; at 100 TB the only cost to budget is the deliberate
+      // w/stride byte amplification (2× here) on the output. Convention:
+      // window starts at 0, stride, 2·stride … ≤ max(n−w, 0) — the final
+      // window is full-length when it fits, else the whole short doc;
+      // trailing tokens past the last start+w are the next stage's
+      // problem, exactly like training-context packing.
+      "q_chunk_windows",
+      (s, d) => {
+        val w = 32
+        val st = 16
+        tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+            explode(sequence(lit(0), greatest(size(col("toks")) - w, lit(0)),
+              lit(st))).as("start"))
+          .select(col("doc_id"),
+            floor(col("start") / st).cast("long").as("chunk_idx"),
+            col("start").cast("long").as("start_tok"),
+            least(lit(w), col("n") - col("start")).cast("long").as("n_chunk_tokens"),
+            array_join(slice(col("toks"), col("start") + 1, lit(w)), " ").as("chunk_text"))
+          .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("chunk_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |c AS (
+             |  SELECT doc_id, l, len(l) AS n,
+             |    unnest(range(0, greatest(len(l) - 32, 0) + 1, 16)) AS start
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(start // 16 AS BIGINT) AS chunk_idx,
+             |  CAST(start AS BIGINT) AS start_tok,
+             |  CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens,
+             |  array_to_string(l[start + 1 : start + 32], ' ') AS chunk_text
+             |FROM c
+             |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Repetition quality signals (Gopher-style): repeated-token ratio
       // (1 − distinct/total) and top-token share per document — high
       // values flag boilerplate/spam before training. Two-level agg: the

@@ -62,6 +62,37 @@ class TextEdgeSpec extends SparkSpec {
     assert(rows(1L) == (("[EMAIL] user 1", 1L, 0L)), rows(1L).toString)
   }
 
+  test("q_chunk_windows: overlap invariant, short docs whole, edge cases safe") {
+    // degenerate docs: one chunk each, chunk_text = whole doc
+    val tiny = SparkEntry.queries("q_chunk_windows")(spark, tinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    assert(tiny.toSeq == Seq((1L, 0L, "solo"), (2L, 0L, ""),
+      (3L, 0L, "two tokens here now")))
+
+    // real corpus: consecutive chunks overlap by w−stride tokens, the
+    // reassembled stride-prefixes + last chunk reconstruct the covered doc
+    val byDoc = query("q_chunk_windows").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L, "first chunk starts at token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 16, "starts advance by the stride")
+          // overlap: b's first (w−stride)=16 tokens equal a's last 16
+          val aToks = a._5.split(" ")
+          val bToks = b._5.split(" ")
+          assert(bToks.take(aToks.length - 16).toSeq == aToks.drop(16).toSeq,
+            "consecutive chunks must share the overlap region")
+        case _ => ()
+      }
+      sorted.foreach(c => assert(c._4 == c._5.split(" ", -1).length,
+        "n_chunk_tokens matches the emitted chunk text"))
+    }
+  }
+
   test("q_token_count on degenerate docs") {
     val rows = SparkEntry.queries("q_token_count")(spark, tinyDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
