@@ -147,6 +147,15 @@ class PlanAuditSpec extends SparkSpec
     }
   }
 
+  test("q_chunk_windows is shuffle-free below the declared sort") {
+    // chunking is generator + narrow projection: the ONLY exchange allowed
+    // is the final ORDER BY's range partitioning — a hash exchange would
+    // mean a groupBy/join crept into what must stay a linear scan
+    val plan = query("q_chunk_windows").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle on a hash key:\n$plan")
+  }
+
   test("q_agg_group plans a partial (map-side) aggregate below the shuffle") {
     val plan = query("q_agg_group").queryExecution.executedPlan.toString
     // plan prints top-down: the partial aggregate appears AFTER the hash
