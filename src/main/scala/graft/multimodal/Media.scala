@@ -20,13 +20,19 @@ final case class MediaItem(
     duration_ms: Long, // -1 = unknown
     captured_at: Timestamp)
 
-/** Decoded-image record produced by ImageOps.decode. */
+/** Decoded-image record produced by ImageOps.decode. `decoded_ok` = the
+  * pixel stats come from a REAL codec decode; false marks the degraded
+  * fallback (fabricated dims/luma from corrupt or non-decodable bytes), so
+  * downstream size filters and luma-based quality gates can exclude
+  * fabricated stats instead of silently blending them with genuine ones.
+  */
 final case class DecodedImage(
     media_id: Long,
     width: Int,
     height: Int,
     n_pixels: Long,
-    mean_luma: Double)
+    mean_luma: Double,
+    decoded_ok: Boolean)
 
 /** Per-media feature vector (fixed dim), ready for the similarity ops. */
 final case class MediaFeatures(

@@ -89,12 +89,13 @@ object MediaOps {
           ImageCodec.decode(m.content) match {
             case Some(img) =>
               DecodedImage(m.media_id, img.getWidth, img.getHeight,
-                img.getWidth.toLong * img.getHeight, ImageCodec.meanLuma(img))
+                img.getWidth.toLong * img.getHeight, ImageCodec.meanLuma(img),
+                decoded_ok = true)
             case None =>
               val (w0, h0) = if (m.width > 0 && m.height > 0) (m.width, m.height)
                 else FakeCodec.decodeDims(m.content)
               DecodedImage(m.media_id, w0, h0, w0.toLong * h0,
-                FakeCodec.meanLuma(m.content))
+                FakeCodec.meanLuma(m.content), decoded_ok = false)
           }
         }
       }
@@ -243,8 +244,26 @@ object MediaOps {
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
+    // Cache key = content fingerprint of the documents source (absolute
+    // path + per-file size + mtime), not the dir basename: two datasets
+    // whose directories share a basename, or a regenerated fixture at the
+    // same path, must NOT silently reuse each other's cached payloads.
+    val src = Paths.get(dir, "documents.parquet").toAbsolutePath.normalize
+    val fingerprint = {
+      import scala.jdk.CollectionConverters._
+      val parts =
+        if (Files.isDirectory(src))
+          Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted
+        else Seq(s"$src:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(parts.mkString("\n").getBytes("UTF-8"))
+      md.digest().take(12).map("%02x".format(_)).mkString
+    }
     val cache = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-media-fixture-v2", Paths.get(dir).getFileName.toString)
+      "graft-media-fixture-v3",
+      s"${Paths.get(dir).getFileName}-$fingerprint")
     if (!Files.exists(cache)) synchronized {
       if (!Files.exists(cache)) {
         val tmp = cache.resolveSibling(cache.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)

@@ -203,15 +203,26 @@ object Dedup {
   /** Test-set decontamination as a reusable operator: docs from `corpus`
     * sharing any k-token shingle with `bench` (both (doc_id, text)
     * frames), with per-doc shared-shingle counts. The benchmark's distinct
-    * shingle-hash set is bounded (an eval suite, not a corpus) so it
-    * BROADCASTS; the corpus streams through a broadcast hash join — zero
-    * corpus shuffle before the small per-doc hit count.
+    * shingle-hash set is usually bounded (an eval suite, not a corpus), in
+    * which case it BROADCASTS and the corpus streams through a broadcast
+    * hash join — zero corpus shuffle before the small per-doc hit count.
+    * The "bench is small" assumption is VERIFIED, not trusted: the distinct
+    * hash set is materialized once (localCheckpoint) and counted, and the
+    * broadcast hint only applies under `maxBroadcastShingles` (8-byte
+    * hashes; the default ≈ 32 MB of key payload). A caller passing a
+    * corpus-sized bench frame gets a plain shuffle join (AQE still free to
+    * re-plan) instead of a driver/executor OOM.
     */
   def decontaminate(corpus: org.apache.spark.sql.DataFrame,
-      bench: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
+      bench: org.apache.spark.sql.DataFrame, k: Int = 3,
+      maxBroadcastShingles: Long = 4000000L): org.apache.spark.sql.DataFrame = {
     val benchSet = shingleHashStreamPos(bench, k).select("h1").distinct()
+      .localCheckpoint(eager = true) // one bench shingle pass: count + join
+    val benchSide =
+      if (benchSet.count() <= maxBroadcastShingles) broadcast(benchSet)
+      else benchSet
     shingleHashStreamPos(corpus, k).select("doc_id", "h1")
-      .join(broadcast(benchSet), Seq("h1"))
+      .join(benchSide, Seq("h1"))
       .groupBy("doc_id")
       .agg(countDistinct(col("h1")).as("n_hits"))
   }

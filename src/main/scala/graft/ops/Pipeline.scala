@@ -120,7 +120,9 @@ object Pipeline {
              |  SELECT lang,
              |    len(regexp_extract_all(text,
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-             |    len(regexp_extract_all(text, '[0-9]{3,}')) AS pii_hits,
+             |    len(regexp_extract_all(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '[0-9]{3,}')) AS pii_hits,
              |    regexp_replace(regexp_replace(text,
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              |      '[0-9]{3,}', '[NUM]', 'g') AS scrubbed

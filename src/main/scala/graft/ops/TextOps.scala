@@ -35,10 +35,15 @@ object TextOps {
 
   /** Total PII hit count (emails + long digit runs) in a text column —
     * the audit metric a scrub stage reports alongside the redaction.
+    * Digit runs are counted on the email-scrubbed INTERMEDIATE, exactly
+    * mirroring scrubPii's email-first replacement order — digits inside an
+    * address are one [EMAIL] redaction, not an extra [NUM] hit, so the
+    * audit count equals the number of replacements actually applied.
     */
   def piiHits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
-      size(regexp_extract_all(c, lit(LongDigitPattern), lit(0)))).cast("long")
+      size(regexp_extract_all(regexp_replace(c, EmailPattern, "[EMAIL]"),
+        lit(LongDigitPattern), lit(0)))).cast("long")
 
   /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
     * (doc_id, token) frame via inverted-index equi-join on token — the
@@ -449,7 +454,11 @@ object TextOps {
             scrubPii(col("contact")).as("scrubbed"),
             size(regexp_extract_all(col("contact"), lit(EmailPattern), lit(0)))
               .cast("long").as("n_emails"),
-            size(regexp_extract_all(col("contact"), lit(LongDigitPattern), lit(0)))
+            // digit runs on the email-scrubbed intermediate (same order as
+            // scrubPii): digits inside an address are [EMAIL], not [NUM]
+            size(regexp_extract_all(
+              regexp_replace(col("contact"), EmailPattern, "[EMAIL]"),
+              lit(LongDigitPattern), lit(0)))
               .cast("long").as("n_nums"))
           .orderBy(asc_nulls_first("doc_id"))
       },
@@ -463,7 +472,9 @@ object TextOps {
              |    '[0-9]{3,}', '[NUM]', 'g') AS scrubbed,
              |  CAST(len(regexp_extract_all(contact,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-             |  CAST(len(regexp_extract_all(contact, '[0-9]{3,}')) AS BIGINT) AS n_nums
+             |  CAST(len(regexp_extract_all(regexp_replace(contact,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '[0-9]{3,}')) AS BIGINT) AS n_nums
              |FROM c
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     ),

@@ -125,7 +125,7 @@ class MultimodalSpec extends SparkSpec {
     img.setRGB(1, 1, 0x0000ff) // blue:  0.114
     val ds = Seq(item(1L, "image/png", ImageCodec.encodePng(img))).toDS()
     val d = MediaOps.decodeImages(ds).collect().head
-    assert(d.width == 2 && d.height == 2 && d.n_pixels == 4L)
+    assert(d.width == 2 && d.height == 2 && d.n_pixels == 4L && d.decoded_ok)
     val expected = (0.0 + 1.0 + 0.299 + 0.114) / 4
     assert(math.abs(d.mean_luma - expected) < 1e-12,
       s"PNG roundtrip is lossless; got ${d.mean_luma}, want $expected")
@@ -201,6 +201,8 @@ class MultimodalSpec extends SparkSpec {
     assert(imgs.length == 1 && imgs.head.media_id == 20L)
     assert(imgs.head.width >= 32 && imgs.head.mean_luma >= 0.0 &&
       imgs.head.mean_luma <= 1.0)
+    // fabricated stats must be FILTERABLE: the fallback record is marked
+    assert(!imgs.head.decoded_ok)
     val chunks = MediaOps.chunkAudio(ds, 500L).collect()
     assert(chunks.nonEmpty && chunks.forall(c => c.rms >= 0.0 && c.rms <= 1.0))
     val resized = MediaOps.resize(ds, 16).collect()
