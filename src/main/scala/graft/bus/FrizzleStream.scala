@@ -47,16 +47,21 @@ final case class BusEvent(level: String, message: String)
   *     to the fail sink (dead-letter) inside the same epoch.
   *   - Backpressure is trigger pacing (`maxPerTrigger`) instead of the
   *     reference's unbuffered channel handoff.
-  *   - Configuration is settable up to start(), frozen after: the
-  *     reference's AddOptions (/root/reference/frizzle.go:82-87) mutates a
-  *     LIVE bus (including FailSink rewiring mid-run, options.go:35-41),
-  *     which cannot be made consistent with a checkpointed streaming query
-  *     (transform chains are compiled into the plan; a mid-epoch sink swap
-  *     would split one epoch's at-least-once guarantee across two sinks).
-  *     The AddOptions analog here is [[addReceiveTransforms]] /
-  *     [[addSendTransforms]] / [[withFailSink]] on a constructed-but-not-
-  *     started bus; live reconfigure = flushAndClose + construct anew; the
-  *     checkpoint carries the offsets across the restart.
+  *   - AddOptions works on a LIVE bus (/root/reference/frizzle.go:82-87,
+  *     including FailSink rewiring mid-run, options.go:35-41,88-90), with
+  *     EPOCH granularity: send transforms, the fail sink and the fail
+  *     destination are read by the foreachBatch driver code — not compiled
+  *     into the streaming plan — so [[addSendTransforms]] / [[withFailSink]]
+  *     may be called while the query runs. Each micro-batch snapshots the
+  *     configuration ONCE at entry: an epoch is processed wholly under one
+  *     config version (a mid-epoch sink swap would split the epoch's
+  *     at-least-once guarantee across two sinks), and a rewire takes effect
+  *     at the next epoch boundary — the closest consistent analog of the
+  *     reference's per-message pickup. RECEIVE transforms are the one
+  *     exception: they are fused into the source plan at start() and stay
+  *     frozen ([[addReceiveTransforms]] is pre-start-only; live receive
+  *     rewiring = flushAndClose + construct anew, the checkpoint carries
+  *     the offsets across the restart).
   *
   * The processor is set-oriented: DataFrame(id,data,ts) → same columns plus
   * `dest` (string; null = don't send) and `failed` (boolean). A per-message
@@ -83,6 +88,9 @@ final class FrizzleStream(
 
   val stats = new BusStats
   private val eventQueue = new ConcurrentLinkedQueue[BusEvent]()
+  // fail sinks replaced by a live withFailSink rewire: closed (once) in
+  // flushAndClose, after the query has stopped — never mid-run
+  private val retiredSinks = new ConcurrentLinkedQueue[BusSink]()
   @volatile private var query: StreamingQuery = _
   // set when runBatch's catch already counted a failure synchronously, so
   // onQueryTerminated can tell a batch error (already in ctr.error) from a
@@ -91,37 +99,66 @@ final class FrizzleStream(
   // one ctr.error per occurrence, /root/reference/options.go:95-99)
   @volatile private var batchErrorCounted = false
 
-  // pre-start-mutable configuration (AddOptions parity; see class scaladoc)
-  private var failSinkV: Option[BusSink] = failSink
-  private var failDestV: String = failDest
+  // live-mutable configuration (AddOptions parity; see class scaladoc).
+  // Volatile: mutators may run on a user thread while foreachBatch reads on
+  // the stream-execution thread; runBatch snapshots each value once per
+  // epoch so one micro-batch never straddles two config versions.
+  @volatile private var failSinkV: Option[BusSink] = failSink
+  @volatile private var failDestV: String = failDest
+  @volatile private var sendTransformsV: Seq[MsgTransform] = sendTransforms
+  // receive transforms are fused into the source plan at start(): pre-start
+  // mutable only (the one documented AddOptions delta)
   private var receiveTransformsV: Seq[MsgTransform] = receiveTransforms
-  private var sendTransformsV: Seq[MsgTransform] = sendTransforms
 
-  private def preStart(mutate: => Unit): FrizzleStream = {
+  /** AddOptions analog: append receive transforms. Pre-start ONLY — the
+    * receive chain is compiled into the streaming plan at start()
+    * (frizzle.go:82-87; see class scaladoc for the live-rewiring scope). */
+  def addReceiveTransforms(ts: MsgTransform*): FrizzleStream = {
     require(query == null,
-      "bus already started: configuration is frozen at start() (live " +
-        "rewiring cannot be epoch-consistent — flushAndClose and construct anew)")
-    mutate
+      "bus already started: receive transforms are fused into the source " +
+        "plan at start() and cannot rewire live — flushAndClose and " +
+        "construct anew (send transforms and the fail sink CAN rewire live)")
+    receiveTransformsV = receiveTransformsV ++ ts
     this
   }
 
-  /** AddOptions analog: append receive transforms before start()
-    * (frizzle.go:82-87 semantics, scoped to pre-start — see scaladoc). */
-  def addReceiveTransforms(ts: MsgTransform*): FrizzleStream =
-    preStart { receiveTransformsV = receiveTransformsV ++ ts }
+  /** AddOptions analog: append send transforms — callable on a LIVE bus
+    * (frizzle.go:82-87). Takes effect at the next epoch boundary; the
+    * in-flight micro-batch finishes under the config it snapshotted. */
+  def addSendTransforms(ts: MsgTransform*): FrizzleStream = {
+    sendTransformsV = sendTransformsV ++ ts
+    if (query != null)
+      eventQueue.add(BusEvent("info",
+        s"live rewire: +${ts.size} send transform(s) from next epoch"))
+    this
+  }
 
-  /** AddOptions analog: append send transforms before start(). */
-  def addSendTransforms(ts: MsgTransform*): FrizzleStream =
-    preStart { sendTransformsV = sendTransformsV ++ ts }
-
-  /** AddOptions analog of FailSink rewiring (options.go:35-41,88-90),
-    * scoped to pre-start: attach/replace the dead-letter sink (and
-    * optionally its destination) on a constructed-but-not-started bus. */
-  def withFailSink(fs: BusSink, dest: Option[String] = None): FrizzleStream =
-    preStart {
-      failSinkV = Some(fs)
-      dest.foreach(failDestV = _)
-    }
+  /** AddOptions analog of FailSink rewiring (options.go:35-41,88-90) —
+    * callable on a LIVE bus: attach/replace the dead-letter sink (and
+    * optionally its destination) mid-run; dead letters route to the new
+    * sink from the next epoch boundary. The same failDest addressability
+    * fail-fast as start() applies — a live rewire must not be able to
+    * poison the next dead-letter write. */
+  def withFailSink(fs: BusSink, dest: Option[String] = None): FrizzleStream = {
+    val newDest = dest.getOrElse(failDestV)
+    require(fs.safeDest(newDest),
+      s"failDest '$newDest' is not addressable by the fail sink " +
+        "(safeDest=false): rewiring it would poison the next dead-letter write")
+    // order matters for live readers: a concurrent epoch snapshot may see
+    // (new sink, old dest) or (new sink, new dest) — both validated pairs
+    // would be wrong to assume; snapshot-at-epoch-entry in runBatch is what
+    // actually guarantees a consistent pair per epoch. Set dest first so a
+    // post-rewire epoch sees the complete new config.
+    dest.foreach(failDestV = _)
+    // the replaced sink cannot close yet — an in-flight epoch may have
+    // snapshotted it and still be writing; it retires at flushAndClose
+    failSinkV.filter(_ ne fs).foreach(old => retiredSinks.add(old))
+    failSinkV = Some(fs)
+    if (query != null)
+      eventQueue.add(BusEvent("info",
+        s"live rewire: fail sink -> dest '$newDest' from next epoch"))
+    this
+  }
 
   /** Events seen so far (A11 fan-in: listener events + routing errors). */
   def events: Seq[BusEvent] = eventQueue.asScala.toSeq
@@ -216,6 +253,13 @@ final class FrizzleStream(
   }
 
   private def runBatch(batch: DataFrame, batchId: Long): Unit = {
+    // Epoch config snapshot: ONE read of each live-mutable setting per
+    // micro-batch, so an AddOptions rewire landing mid-batch never splits
+    // one epoch's dead letters (or send-transform chain) across two
+    // configurations — the rewire takes effect at the next epoch boundary.
+    val epochFailSink = failSinkV
+    val epochFailDest = failDestV
+    val epochSendTransforms = sendTransformsV
     val routed = process(batch)
       .select(col("id"), col("data"), col("ts"),
         col("dest").cast("string").as("dest"), col("failed").cast("boolean").as("failed"))
@@ -269,8 +313,8 @@ final class FrizzleStream(
         val dead = routed.filter(col("failed") || unsafeCond)
           .select("id", "data", "ts").as[Msg]
         stats.fail.addAndGet(nDead)
-        failSinkV.foreach { fs =>
-          fs.write(dead, failDestV, batchId)
+        epochFailSink.foreach { fs =>
+          fs.write(dead, epochFailDest, batchId)
           stats.failsink.addAndGet(nDead)
         }
       }
@@ -278,7 +322,7 @@ final class FrizzleStream(
       // A4 send + send-transform chain, routed per (addressable) destination.
       safeDests.foreach { case (dest, _) =>
         val out0 = sendable.filter(col("dest") === dest).select("id", "data", "ts")
-        val out = sendTransformsV.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
+        val out = epochSendTransforms.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
         sink.write(out, dest, batchId)
       }
       stats.send.addAndGet(nSend - nUnsafe)
@@ -327,6 +371,8 @@ final class FrizzleStream(
     sink.close()
     source.close()
     failSinkV.foreach(_.close())
+    retiredSinks.asScala.foreach(_.close())
+    retiredSinks.clear()
     spark.streams.removeListener(listener)
     drained
   }

@@ -289,6 +289,41 @@ class BusSpec extends SparkSpec {
     src.close()
   }
 
+  test("AddOptions rewires the fail sink and send transforms on a LIVE bus") {
+    // reference parity: AddOptions mutates a running Friz — including
+    // FailSink rewiring picked up mid-run (frizzle.go:82-87,
+    // options.go:35-41,88-90). Here the pickup granularity is the epoch:
+    // the rewire lands between micro-batches, the next epoch snapshots the
+    // new config, and everything already written stays where it was.
+    val (src, sink, dlq, bus) = newBus()
+    bus.start()
+    src.put(Msg.utf8("a1", "fail"), Msg.utf8("a2", "foo"))
+    bus.awaitIdle()
+    assert(dlq.sent("failed").map(_.dataUtf8) == Seq("fail"))
+    assert(sink.sent("all-lower").map(_.dataUtf8) == Seq("foo"))
+
+    // live rewire: replace the DLQ (new dest too) and add a send framing
+    val dlq2 = new MemorySink
+    bus.withFailSink(dlq2, Some("dead2"))
+      .addSendTransforms(SeparatorTransform.utf8("\n"))
+    src.put(Msg.utf8("b1", "fail"), Msg.utf8("b2", "bar"))
+    bus.awaitIdle()
+
+    // old DLQ untouched; the new dead letter lands in the rewired sink+dest
+    assert(dlq.sent("failed").map(_.dataUtf8) == Seq("fail"))
+    assert(dlq2.sent("dead2").map(_.dataUtf8) == Seq("fail"))
+    // post-rewire sends carry the added frame; pre-rewire output unchanged
+    assert(sink.sent("all-lower").map(_.dataUtf8).sorted == Seq("bar\n", "foo"))
+    // counters accumulate seamlessly across the rewire
+    assert(bus.stats.snapshot == Map(
+      "rcv" -> 4L, "send" -> 2L, "ack" -> 2L, "fail" -> 2L,
+      "failsink" -> 2L, "error" -> 0L))
+    // the rewire is observable in the bus event stream (A11)
+    assert(bus.events.exists(e =>
+      e.level == "info" && e.message.contains("live rewire")))
+    bus.flushAndClose(10000)
+  }
+
   test("start() refuses a second start on the same bus") {
     val (src, _, _, bus) = newBus()
     bus.start()
