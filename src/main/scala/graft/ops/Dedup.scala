@@ -474,6 +474,48 @@ object Dedup {
              |  CAST(h.n_dup_spans AS DOUBLE) / t2.n_spans AS dup_ratio
              |FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
              |ORDER BY h.doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Keep-best dedup: canonical-document SELECTION, not just removal —
+      // docs clustering on a canonical key (here: the first 8 tokens, the
+      // cheap prefix-fingerprint tier between exact text equality and
+      // MinHash) keep only the best representative (max n_chars, doc_id
+      // tiebreak), with the cluster size as audit. The quality-aware twin
+      // of q_dedup_docs_exact: when near-identical docs differ in length
+      // (truncation, boilerplate strip), the pipeline must keep the
+      // RICHEST copy, not the lowest id. One hash shuffle on
+      // xxhash64(prefix) — the window key is the 8-byte hash, so the wire
+      // carries no prefix strings (same convention as the exact-corpus
+      // tier; a 64-bit collision merges two clusters, expectation ≪1 at
+      // any real corpus size — but the ORACLE groups on the string, so
+      // the gate itself proves collision-freedom at test scale).
+      "q_dedup_keep_best",
+      (s, d) => {
+        val ckey = xxhash64(array_join(slice(split(col("text"), " "), 1, 8), " "))
+        val byKey = Window.partitionBy("ckey")
+        val docs = tbl(s, d, "documents").withColumn("ckey", ckey)
+        docs
+          .withColumn("rn", row_number().over(byKey.orderBy(
+            desc_nulls_last("n_chars"), asc_nulls_first("doc_id"))))
+          .withColumn("cluster_size", count(lit(1)).over(byKey))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("cluster_size").cast("long").as("cluster_size"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    array_to_string(string_split(text, ' ')[1:8], ' ') AS ckey
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY ckey
+             |      ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn,
+             |    COUNT(*) OVER (PARTITION BY ckey) AS cluster_size
+             |  FROM k)
+             |SELECT doc_id, lang, n_chars, CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM r WHERE rn = 1
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

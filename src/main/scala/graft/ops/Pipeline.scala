@@ -65,6 +65,28 @@ object Pipeline {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: cap every stratum (language,
+    * source, …) at ~`cap` docs via a per-stratum keep-percentage and the
+    * same partition-independent multiplicative hash as [[splitAssign]] —
+    * the SAME docs survive on any cluster, any partitioning, any day
+    * (reservoir/Bernoulli sampling can't promise that). Integer-exact:
+    * pct = min(100, cap·100 div total), keep iff hash-bucket(key) < pct,
+    * so the realized rate tracks the target within 1% granularity. One
+    * count shuffle on the stratum column (map-side combined, one row per
+    * stratum) broadcast back over the corpus — the corpus itself never
+    * shuffles. Keeps `stratum_total` / `sample_pct` as audit columns.
+    */
+  def stratifiedSample(df: DataFrame, strata: String, cap: Long,
+      keyCol: String = "doc_id"): DataFrame = {
+    val totals = df.groupBy(strata)
+      .agg(count(lit(1)).as("stratum_total"))
+      .withColumn("sample_pct",
+        least(lit(100L), expr(s"${cap * 100} div stratum_total")))
+    val bucket = (col(keyCol) % 1000003L) * lit(2654435761L) % 4294967296L % 100
+    df.join(broadcast(totals), Seq(strata))
+      .filter(bucket < col("sample_pct"))
+  }
+
   private def langStats(df: DataFrame): DataFrame =
     df.groupBy("lang")
       .agg(count(lit(1)).as("doc_cnt"),
@@ -241,6 +263,33 @@ object Pipeline {
              |  CAST(LEAST(COUNT(*), 120) AS DOUBLE) / COUNT(*) AS sample_rate
              |FROM documents GROUP BY source
              |ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // q_source_mix PLANS the rebalance; this EXECUTES it: per-language
+      // cap via deterministic hash sampling (see stratifiedSample). The
+      // audit rollup proves the realized sample tracks the integer target
+      // rate and that selection is reproducible (the oracle replicates
+      // the exact hash arithmetic, so the same docs are kept).
+      "q_stratified_sample",
+      (s, d) => {
+        stratifiedSample(tbl(s, d, "documents"), "lang", cap = 60L)
+          .groupBy("lang")
+          .agg(max(col("stratum_total")).cast("long").as("total"),
+            max(col("sample_pct")).cast("long").as("pct"),
+            count(lit(1)).as("kept"),
+            sum(col("n_chars")).cast("long").as("kept_chars"))
+          .orderBy(asc_nulls_first("lang"))
+      },
+      Some("""WITH cnt AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY lang),
+             |r AS (SELECT lang, total, LEAST(100, 6000 // total) AS pct FROM cnt),
+             |k AS (
+             |  SELECT d.lang, r.total, r.pct, d.n_chars
+             |  FROM documents d JOIN r ON d.lang = r.lang
+             |  WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 100 < r.pct)
+             |SELECT lang, CAST(MAX(total) AS BIGINT) AS total,
+             |  CAST(MAX(pct) AS BIGINT) AS pct,
+             |  COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+             |FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -552,6 +552,46 @@ object TextOps {
              |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
              |FROM cnt GROUP BY doc_id
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Rare-token ratio (CCNet-style vocabulary novelty): per document,
+      // the share of token occurrences whose corpus document frequency is
+      // ≤ dfMax — high ratios flag gibberish/OCR noise, near-zero ratios
+      // flag boilerplate. The TF-IDF shape at scale: tokens are xxhash64'd
+      // ONCE at the scan so every shuffle (the distinct for DF, the
+      // occurrence join on token, the per-doc rollup) moves an 8-byte key,
+      // never the string; the token frame is localCheckpointed because it
+      // feeds both the DF count and the occurrence join (no exchange for
+      // ReuseExchange when AQE broadcasts). Exact integer numerator, ONE
+      // final IEEE division. Collision caveat as the shingle family: a
+      // 64-bit token collision merges two DF counts — expectation ≪1
+      // through billions of distinct tokens.
+      "q_rare_token_ratio",
+      (s, d) => {
+        val dfMax = 2L
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+          .localCheckpoint(eager = false)
+        val dfCnt = toks.distinct()
+          .groupBy("th").agg(count(lit(1)).as("df"))
+        toks.join(dfCnt, Seq("th"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("df") <= dfMax, 1)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+              .as("rare_ratio"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  COUNT(*) FILTER (WHERE df <= 2) AS n_rare,
+             |  CAST(COUNT(*) FILTER (WHERE df <= 2) AS DOUBLE) / COUNT(*) AS rare_ratio
+             |FROM t JOIN d USING (tok) GROUP BY doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }
