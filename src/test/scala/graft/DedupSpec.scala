@@ -167,4 +167,23 @@ class DedupSpec extends SparkSpec {
       assert(inter * 10 > union * 6)
     }
   }
+
+  test("q_dedup_keep_best keeps the RICHEST doc per prefix cluster, not the first") {
+    // docs 1/2/3 share an 8-token prefix; doc 2 is the longest and must be
+    // the survivor (keep-best ≠ keep-min-id). doc 4 is its own cluster.
+    val dir = Files.createTempDirectory("keepbest").toString
+    import spark.implicits._
+    val pre = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, s"$pre tail", "en", "s1", 4L),
+      (2L, s"$pre much longer tail kept", "en", "s1", 25L),
+      (3L, s"$pre x", "en", "s1", 1L),
+      (4L, "completely different prefix tokens one two three four", "en", "s2", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_keep_best")(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((2L, "en", 25L, 3L), (4L, "en", 54L, 1L)),
+      s"keep-best must survive doc 2 (richest of cluster {1,2,3}): $got")
+  }
 }

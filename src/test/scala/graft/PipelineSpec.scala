@@ -51,4 +51,23 @@ class PipelineSpec extends SparkSpec {
     val b = query("q_pipeline_full").collect().toSeq
     assert(a == b)
   }
+
+  test("stratifiedSample keeps the exact hash-selected docs, independent of partitioning") {
+    import spark.implicits._
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+    def kept(parts: Int) = graft.ops.Pipeline
+      .stratifiedSample(docs.repartition(parts), "lang", cap = 20L)
+      .select("doc_id").as[Long].collect().toSet
+    val k3 = kept(3)
+    // partition-independence: the SAME docs survive under any layout
+    assert(k3 == kept(13))
+    // selection replicates the documented hash rule exactly
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val expect = docs.select("doc_id", "lang").as[(Long, String)].collect()
+      .filter { case (id, lang) =>
+        val pct = math.min(100L, 2000L / totals(lang))
+        id % 1000003L * 2654435761L % 4294967296L % 100 < pct
+      }.map(_._1).toSet
+    assert(k3 == expect)
+  }
 }

@@ -308,4 +308,20 @@ class SimilaritySpec extends SparkSpec {
       assert(nn == want._1, s"probe $p: got $nn want ${want._1}")
     }
   }
+
+  test("quantizeScalar: codes span [0,255], constant dims quantize to 0") {
+    // dim 0 ranges over [0,2]: x=0 → 0, x=1 → floor(1·256/2)=128,
+    // x=2 → floor(256) clamped to 255. dim 1 is CONSTANT (mx == mn) —
+    // the zero-range guard must emit 0, not a division blowup.
+    val emb = Seq(
+      (1L, Array(0.0f, 5.0f)),
+      (2L, Array(1.0f, 5.0f)),
+      (3L, Array(2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.quantizeScalar(emb)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, pos, code) => (id, pos) -> code }.toMap
+    assert(got == Map(
+      (1L, 0) -> 0L, (2L, 0) -> 128L, (3L, 0) -> 255L,
+      (1L, 1) -> 0L, (2L, 1) -> 0L, (3L, 1) -> 0L))
+  }
 }
