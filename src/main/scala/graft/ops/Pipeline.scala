@@ -75,6 +75,12 @@ object Pipeline {
     * count shuffle on the stratum column (map-side combined, one row per
     * stratum) broadcast back over the corpus — the corpus itself never
     * shuffles. Keeps `stratum_total` / `sample_pct` as audit columns.
+    *
+    * Complement of [[Scale.stratifiedSample]] (exact top-n per stratum via
+    * a keyed window): that one guarantees the cap exactly but puts each
+    * stratum in ONE window task — right for bounded strata. This one is
+    * rate-based (realized count ≈ cap) but never shuffles the corpus —
+    * the 100 TB default when strata are huge (languages, sources).
     */
   def stratifiedSample(df: DataFrame, strata: String, cap: Long,
       keyCol: String = "doc_id"): DataFrame = {
