@@ -45,6 +45,22 @@ object TextOps {
       size(regexp_extract_all(regexp_replace(c, EmailPattern, "[EMAIL]"),
         lit(LongDigitPattern), lit(0)))).cast("long")
 
+  /** Strip HTML/XML markup from ANY text column — the extraction step
+    * ahead of every web-corpus pipeline (boilerplate removal lite):
+    * script/style blocks go WITH their payload, then tags, then character
+    * entities (replaced by a space, not decoded — this is a strip, not a
+    * renderer), then whitespace collapses. Pure codegen'd projection in
+    * the shared Java-regex/RE2 dialect (inline (?s) dotall, lazy
+    * repetition, character classes — no lookarounds), so the SAME
+    * patterns drive the engine and the DuckDB oracle.
+    */
+  def stripMarkup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " "),
+      "<[^>]+>", " "),
+      "&[a-zA-Z]+;|&#[0-9]+;", " "),
+      "\\s+", " "))
+
   /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
     * (doc_id, token) frame via inverted-index equi-join on token — the
     * token can be a word, an n-gram shingle, or any fingerprint unit.
@@ -591,6 +607,50 @@ object TextOps {
              |  COUNT(*) FILTER (WHERE df <= 2) AS n_rare,
              |  CAST(COUNT(*) FILTER (WHERE df <= 2) AS DOUBLE) / COUNT(*) AS rare_ratio
              |FROM t JOIN d USING (tok) GROUP BY doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // HTML boilerplate stripping — the raw-web extraction step. The
+      // corpus is plain text, so markup is synthesized around each doc
+      // (same convention as q_pii_scrub's contact field): a title with a
+      // character entity, a paragraph wrapper, and a script block whose
+      // payload must vanish WITH its tags. Narrow projection, no shuffle
+      // before the declared sort; the reusable TextOps.stripMarkup is the
+      // single definition both this query and any pipeline stage compose.
+      "q_html_strip",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("<html><body><h1>Doc &amp; title</h1><p>"), col("text"),
+              lit("</p><script>var tracking = 42;</script></body></html>"))
+              .as("html"))
+          .select(col("doc_id"),
+            stripMarkup(col("html")).as("clean"),
+            size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0)))
+              .cast("long").as("n_tags"),
+            length(col("html")).cast("long").as("raw_chars"))
+          .withColumn("clean_chars", length(col("clean")).cast("long"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<html><body><h1>Doc &amp; title</h1><p>' || text ||
+             |      '</p><script>var tracking = 42;</script></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             |    '<[^>]+>', ' ', 'g'),
+             |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'),
+             |    '\s+', ' ', 'g')) AS clean,
+             |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+             |  CAST(len(html) AS BIGINT) AS raw_chars,
+             |  CAST(len(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             |    '<[^>]+>', ' ', 'g'),
+             |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'),
+             |    '\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+             |FROM h
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
