@@ -227,6 +227,27 @@ object Dedup {
       .agg(countDistinct(col("h1")).as("n_hits"))
   }
 
+  /** Incremental ingestion dedup: drop docs from `batch` whose text
+    * already exists in the seen corpus (represented by its xxhash64 text
+    * hashes — at 100 TB the seen side IS a maintained hash index, never
+    * the corpus itself; 8 bytes/doc on the wire), then keep the first
+    * (min doc_id) copy per hash WITHIN the batch. The anti-join and the
+    * window share one hash partitioning; AQE broadcasts the seen side
+    * when it is small. Collision caveat as the hash-dedup family: a
+    * 64-bit collision drops a unique doc — expectation ≪1 through the
+    * billions-of-docs range.
+    */
+  def incrementalDedup(batch: org.apache.spark.sql.DataFrame,
+      seenHashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy(asc_nulls_first("doc_id"))
+    batch.withColumn("__h", xxhash64(col("text")))
+      .join(seenHashes.toDF("__h"), Seq("__h"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
   /** Substring-level exact dedup as a reusable operator: for each doc in
     * the (doc_id, text) frame, the count of k-token spans that also occur
     * in ANOTHER document, plus the first repeated position. See
@@ -515,6 +536,36 @@ object Dedup {
              |  FROM k)
              |SELECT doc_id, lang, n_chars, CAST(cluster_size AS BIGINT) AS cluster_size
              |FROM r WHERE rn = 1
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Ingestion-time dedup: the arriving batch (doc_id ≥ 100, standing
+      // in for today's crawl) dedups against the already-ingested corpus
+      // (doc_id < 100) AND within itself — the incremental tier every
+      // continuously-fed training corpus runs, distinct from the
+      // whole-corpus tiers (q_dedup_docs_exact) and the fuzzy cross-frame
+      // tier (q_decontaminate). See Dedup.incrementalDedup for the
+      // hash-index scale shape.
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val seen = docs.filter(col("doc_id") < 100)
+          .select(xxhash64(col("text")).as("h")).distinct()
+        incrementalDedup(docs.filter(col("doc_id") >= 100), seen)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH seen AS (
+             |  SELECT DISTINCT text FROM documents WHERE doc_id < 100),
+             |b AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id >= 100 AND text NOT IN (SELECT text FROM seen)),
+             |r AS (
+             |  SELECT doc_id, lang, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY text
+             |      ORDER BY doc_id ASC NULLS FIRST) AS rn
+             |  FROM b)
+             |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )

@@ -156,6 +156,32 @@ class StreamingJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("markup stripping runs stream-side: stateless projection, identical output") {
+    // stripMarkup is a pure codegen'd projection like scrubPii — the
+    // raw-web extraction stage drops into a readStream ingest unchanged.
+    val docs = Seq(
+      (1L, "<p>hello <b>world</b></p><script>var x = 9;</script>"),
+      (2L, "no markup at all"),
+      (3L, "<div class=\"a\">entity &amp; tail</div>"))
+    val in = MemoryStream[(Long, String)](spark)
+    val out = in.toDF().toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.TextOps.stripMarkup($"text").as("clean"))
+    val q = out.writeStream.format("memory").queryName("ssstrip")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssstrip")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val want = docs.toDF("doc_id", "text")
+        .select($"doc_id", graft.ops.TextOps.stripMarkup($"text").as("clean"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+      assert(got.map(_._2) == Seq("hello world", "no markup at all", "entity tail"),
+        "tags, script payloads and entities must all vanish stream-side")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops re-delivered keys across batches") {
     val in = MemoryStream[Click](spark)
     val out = StreamingJoins.dedupWithinWatermark(
