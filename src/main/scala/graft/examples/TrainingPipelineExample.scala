@@ -8,8 +8,9 @@ import graft.ops.{Pipeline, Scale}
 /** End-to-end training-data curation pipeline, composed from the engine's
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
-  *   read → quality gate → exact dedup → MinHash-LSH near-dup removal →
-  *   PII scrub → deterministic sample → train/val/test split →
+  *   read → markup strip → quality gate → exact dedup →
+  *   MinHash-LSH near-dup removal → PII scrub → per-lang stratified cap →
+  *   deterministic sample → train/val/test split →
   *   (split, lang)-partitioned parquet write
   *
   * Every stage is a narrow filter, keyed window or bucketed join; the
@@ -27,11 +28,17 @@ object TrainingPipelineExample {
 
     val raw = graft.ops.tbl(spark, sfDir, "documents")
 
-    // Stages 1-4 and 6 are Pipeline's OWN stage helpers — the example
+    // All stages are the engine's OWN reusable operators — the example
     // demonstrates exactly what the declared queries verify, not a copy.
 
+    // 0. extraction: strip any markup from the raw text (stateless
+    //    projection — the fixture is plain text, so this is a no-op pass
+    //    that shows where a web corpus plugs in; see q_html_strip)
+    val extracted = raw.withColumn("text",
+      graft.ops.TextOps.stripMarkup(org.apache.spark.sql.functions.col("text")))
+
     // 1. quality gate: bounded token count (narrow filter, no shuffle)
-    val quality = Pipeline.qualityGate(raw)
+    val quality = Pipeline.qualityGate(extracted)
 
     // 2. exact dedup: keep the lowest doc_id per identical text (keyed window)
     val exact = Pipeline.exactDedup(quality)
@@ -43,8 +50,12 @@ object TrainingPipelineExample {
     //    (stateless projection — free to compose anywhere in the flow)
     val scrubbed = Pipeline.scrubStage(neardup)
 
-    // 5. deterministic 50% sample: content-hash threshold (replay-stable)
-    val sampled = Scale.hashSample(scrubbed, 0.5, Seq("text"))
+    // 5. per-language cap: rate-based stratified sampling (no corpus
+    //    shuffle — see q_stratified_sample), then a deterministic 50%
+    //    content-hash sample (replay-stable, nested subsets)
+    val balanced = Pipeline.stratifiedSample(scrubbed, "lang", cap = 400L)
+      .drop("stratum_total", "sample_pct")
+    val sampled = Scale.hashSample(balanced, 0.5, Seq("text"))
 
     // 6. reproducible train/val/test split (same doc → same split, any
     //    cluster/partitioning — see q_split_assign)
