@@ -147,6 +147,39 @@ class PlanAuditSpec extends SparkSpec
     }
   }
 
+  test("q_html_strip is shuffle-free below the declared sort") {
+    // four regex passes are narrow projections: the ONLY exchange allowed
+    // is the final ORDER BY's range partitioning
+    val plan = query("q_html_strip").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"markup stripping must not shuffle on a hash key:\n$plan")
+  }
+
+  // the r9 broadcast-by-construction joins: per-dim stats (64 rows), probe
+  // codes (probes × 64) and per-stratum rates (one row per stratum) are all
+  // explicitly hinted — a refactor that drops the hint and lets these plan
+  // as sort-merge joins re-shuffles the corpus/code frame for no reason
+  Seq("q_embed_quantize", "q_sim_quantized_topk", "q_stratified_sample")
+    .foreach { name =>
+      test(s"$name joins its small side as a broadcast, never sort-merge") {
+        val plan = query(name).queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its broadcast hint:\n$plan")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name plans a sort-merge join — the small side must broadcast:\n$plan")
+      }
+    }
+
+  test("q_dedup_incremental pushes a partial top-1 below the window shuffle") {
+    // Spark's rank-limit pushdown (WindowGroupLimit) is the map-side
+    // combine of keep-first-per-hash: each task pre-filters to one row per
+    // key before the exchange. Losing it (e.g. by breaking the rn === 1
+    // filter shape) would shuffle the whole batch instead.
+    val plan = query("q_dedup_incremental").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"keep-first-per-hash lost the WindowGroupLimit pushdown:\n$plan")
+  }
+
   test("q_chunk_windows is shuffle-free below the declared sort") {
     // chunking is generator + narrow projection: the ONLY exchange allowed
     // is the final ORDER BY's range partitioning — a hash exchange would
