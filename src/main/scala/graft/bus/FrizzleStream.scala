@@ -33,6 +33,14 @@ final class BusStats {
   * (/root/reference/event.go:8-15). */
 final case class BusEvent(level: String, message: String)
 
+/** The dead-letter configuration as ONE immutable value: sink and dest are
+  * validated together (sink.safeDest(dest)) and must be read together — a
+  * torn (old sink, new dest) pair was never validated and could poison the
+  * next dead-letter write. One @volatile field holding this pair makes both
+  * the swap and the epoch snapshot atomic by construction.
+  */
+private[bus] final case class FailConfig(sink: Option[BusSink], dest: String)
+
 /** The bus: wires source → receive transforms → processor → destination
   * routing → sink(s), with dead-letter routing, stats, rate monitoring,
   * async events and graceful drain — the Spark Structured Streaming
@@ -49,19 +57,16 @@ final case class BusEvent(level: String, message: String)
   *     reference's unbuffered channel handoff.
   *   - AddOptions works on a LIVE bus (/root/reference/frizzle.go:82-87,
   *     including FailSink rewiring mid-run, options.go:35-41,88-90), with
-  *     EPOCH granularity: send transforms, the fail sink and the fail
-  *     destination are read by the foreachBatch driver code — not compiled
-  *     into the streaming plan — so [[addSendTransforms]] / [[withFailSink]]
+  *     EPOCH granularity: receive transforms, send transforms, the fail
+  *     sink and the fail destination are all read by the foreachBatch
+  *     driver code — not compiled into the streaming plan — so
+  *     [[addReceiveTransforms]] / [[addSendTransforms]] / [[withFailSink]]
   *     may be called while the query runs. Each micro-batch snapshots the
   *     configuration ONCE at entry: an epoch is processed wholly under one
   *     config version (a mid-epoch sink swap would split the epoch's
   *     at-least-once guarantee across two sinks), and a rewire takes effect
   *     at the next epoch boundary — the closest consistent analog of the
-  *     reference's per-message pickup. RECEIVE transforms are the one
-  *     exception: they are fused into the source plan at start() and stay
-  *     frozen ([[addReceiveTransforms]] is pre-start-only; live receive
-  *     rewiring = flushAndClose + construct anew, the checkpoint carries
-  *     the offsets across the restart).
+  *     reference's per-message pickup of f.tforms (frizzle.go:97-102).
   *
   * The processor is set-oriented: DataFrame(id,data,ts) → same columns plus
   * `dest` (string; null = don't send) and `failed` (boolean). A per-message
@@ -102,23 +107,23 @@ final class FrizzleStream(
   // live-mutable configuration (AddOptions parity; see class scaladoc).
   // Volatile: mutators may run on a user thread while foreachBatch reads on
   // the stream-execution thread; runBatch snapshots each value once per
-  // epoch so one micro-batch never straddles two config versions.
-  @volatile private var failSinkV: Option[BusSink] = failSink
-  @volatile private var failDestV: String = failDest
+  // epoch so one micro-batch never straddles two config versions. The
+  // (failSink, failDest) pair lives in ONE volatile FailConfig so a swap
+  // and a snapshot are each a single reference operation — no torn pair.
+  @volatile private var failCfgV: FailConfig = FailConfig(failSink, failDest)
   @volatile private var sendTransformsV: Seq[MsgTransform] = sendTransforms
-  // receive transforms are fused into the source plan at start(): pre-start
-  // mutable only (the one documented AddOptions delta)
-  private var receiveTransformsV: Seq[MsgTransform] = receiveTransforms
+  @volatile private var receiveTransformsV: Seq[MsgTransform] = receiveTransforms
 
-  /** AddOptions analog: append receive transforms. Pre-start ONLY — the
-    * receive chain is compiled into the streaming plan at start()
-    * (frizzle.go:82-87; see class scaladoc for the live-rewiring scope). */
+  /** AddOptions analog: append receive transforms — callable on a LIVE bus,
+    * matching the reference's consume loop which re-reads f.tforms per
+    * message (frizzle.go:97-102). The receive chain is applied at epoch
+    * entry in runBatch (not fused into the source plan), so a live append
+    * takes effect at the next epoch boundary like every other rewire. */
   def addReceiveTransforms(ts: MsgTransform*): FrizzleStream = {
-    require(query == null,
-      "bus already started: receive transforms are fused into the source " +
-        "plan at start() and cannot rewire live — flushAndClose and " +
-        "construct anew (send transforms and the fail sink CAN rewire live)")
     receiveTransformsV = receiveTransformsV ++ ts
+    if (query != null)
+      eventQueue.add(BusEvent("info",
+        s"live rewire: +${ts.size} receive transform(s) from next epoch"))
     this
   }
 
@@ -140,23 +145,26 @@ final class FrizzleStream(
     * fail-fast as start() applies — a live rewire must not be able to
     * poison the next dead-letter write. */
   def withFailSink(fs: BusSink, dest: Option[String] = None): FrizzleStream = {
-    val newDest = dest.getOrElse(failDestV)
-    require(fs.safeDest(newDest),
-      s"failDest '$newDest' is not addressable by the fail sink " +
+    val old = failCfgV
+    val next = FailConfig(Some(fs), dest.getOrElse(old.dest))
+    // validate the COMPLETE new pair before publishing: the new sink must
+    // address the dest it will actually be paired with
+    require(fs.safeDest(next.dest),
+      s"failDest '${next.dest}' is not addressable by the fail sink " +
         "(safeDest=false): rewiring it would poison the next dead-letter write")
-    // order matters for live readers: a concurrent epoch snapshot may see
-    // (new sink, old dest) or (new sink, new dest) — both validated pairs
-    // would be wrong to assume; snapshot-at-epoch-entry in runBatch is what
-    // actually guarantees a consistent pair per epoch. Set dest first so a
-    // post-rewire epoch sees the complete new config.
-    dest.foreach(failDestV = _)
     // the replaced sink cannot close yet — an in-flight epoch may have
-    // snapshotted it and still be writing; it retires at flushAndClose
-    failSinkV.filter(_ ne fs).foreach(old => retiredSinks.add(old))
-    failSinkV = Some(fs)
+    // snapshotted it and still be writing; it retires at flushAndClose.
+    // Skip if it IS the incoming sink or already retired (an A→B→A cycle
+    // must not queue A twice — flushAndClose closes each sink once).
+    old.sink.filter(_ ne fs)
+      .filterNot(o => retiredSinks.asScala.exists(_ eq o))
+      .foreach(retiredSinks.add)
+    // single volatile write: an epoch snapshot sees either the complete old
+    // pair or the complete new pair, never a torn mix
+    failCfgV = next
     if (query != null)
       eventQueue.add(BusEvent("info",
-        s"live rewire: fail sink -> dest '$newDest' from next epoch"))
+        s"live rewire: fail sink -> dest '${next.dest}' from next epoch"))
     this
   }
 
@@ -228,14 +236,17 @@ final class FrizzleStream(
     // sink, the epoch fails and replays forever: the exact failure mode
     // safeDest routing exists to prevent on the main sink). Fail fast
     // here instead of on the first dead row.
-    failSinkV.foreach { fs =>
-      require(fs.safeDest(failDestV),
-        s"failDest '$failDestV' is not addressable by the configured fail " +
+    val fc0 = failCfgV
+    fc0.sink.foreach { fs =>
+      require(fs.safeDest(fc0.dest),
+        s"failDest '${fc0.dest}' is not addressable by the configured fail " +
           "sink (safeDest=false): the first dead-letter write would " +
           "permanently poison the bus — fix the failDest before start()")
     }
     spark.streams.addListener(listener)
-    val in = receiveTransformsV.foldLeft(source.stream(spark))((df, t) => t.onReceive(df))
+    // receive transforms apply per-epoch inside runBatch (live-rewirable);
+    // the streaming plan is just the raw source
+    val in = source.stream(spark)
     // Trigger pacing is the batch-size/latency knob: 0 = as-fast-as-
     // possible micro-batches (lowest latency, per-epoch overhead dominates
     // at high rates); a longer interval amortizes the fixed per-epoch cost
@@ -257,10 +268,14 @@ final class FrizzleStream(
     // micro-batch, so an AddOptions rewire landing mid-batch never splits
     // one epoch's dead letters (or send-transform chain) across two
     // configurations — the rewire takes effect at the next epoch boundary.
-    val epochFailSink = failSinkV
-    val epochFailDest = failDestV
+    val epochFailCfg = failCfgV // one volatile read: a consistent (sink, dest) pair
     val epochSendTransforms = sendTransformsV
-    val routed = process(batch)
+    val epochReceiveTransforms = receiveTransformsV
+    // A2 receive chain at epoch entry — live-rewirable like the send chain
+    // (reference re-reads f.tforms per message, frizzle.go:97-102; epoch
+    // granularity is our documented consistency unit)
+    val received = epochReceiveTransforms.foldLeft(batch)((df, t) => t.onReceive(df))
+    val routed = process(received)
       .select(col("id"), col("data"), col("ts"),
         col("dest").cast("string").as("dest"), col("failed").cast("boolean").as("failed"))
       .persist()
@@ -313,8 +328,8 @@ final class FrizzleStream(
         val dead = routed.filter(col("failed") || unsafeCond)
           .select("id", "data", "ts").as[Msg]
         stats.fail.addAndGet(nDead)
-        epochFailSink.foreach { fs =>
-          fs.write(dead, epochFailDest, batchId)
+        epochFailCfg.sink.foreach { fs =>
+          fs.write(dead, epochFailCfg.dest, batchId)
           stats.failsink.addAndGet(nDead)
         }
       }
@@ -370,8 +385,11 @@ final class FrizzleStream(
     }
     sink.close()
     source.close()
-    failSinkV.foreach(_.close())
-    retiredSinks.asScala.foreach(_.close())
+    // close each dead-letter sink exactly once, by reference identity — an
+    // A→B→A rewire cycle can leave A both retired and current
+    val toClose = (retiredSinks.asScala.toSeq ++ failCfgV.sink.toSeq)
+      .foldLeft(Vector.empty[BusSink])((acc, s) => if (acc.exists(_ eq s)) acc else acc :+ s)
+    toClose.foreach(_.close())
     retiredSinks.clear()
     spark.streams.removeListener(listener)
     drained

@@ -54,7 +54,7 @@ object TrainingPipelineExample {
     //    shuffle — see q_stratified_sample), then a deterministic 50%
     //    content-hash sample (replay-stable, nested subsets)
     val balanced = Pipeline.stratifiedSample(scrubbed, "lang", cap = 400L)
-      .drop("stratum_total", "sample_pct")
+      .drop("stratum_total", "sample_ppm")
     val sampled = Scale.hashSample(balanced, 0.5, Seq("text"))
 
     // 6. reproducible train/val/test split (same doc → same split, any

@@ -252,11 +252,15 @@ object MediaOps {
     val fingerprint = {
       import scala.jdk.CollectionConverters._
       val parts =
-        if (Files.isDirectory(src))
-          Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_))
+        if (Files.isDirectory(src)) {
+          // Files.walk holds directory handles until the stream closes —
+          // close it explicitly so repeated fixture lookups don't leak fds
+          val st = Files.walk(src)
+          try st.iterator().asScala.filter(Files.isRegularFile(_))
             .map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
             .toSeq.sorted
-        else Seq(s"$src:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}")
+          finally st.close()
+        } else Seq(s"$src:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}")
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(parts.mkString("\n").getBytes("UTF-8"))
       md.digest().take(12).map("%02x".format(_)).mkString
@@ -296,8 +300,10 @@ object MediaOps {
         catch { // lost a cross-JVM race: the winner's cache is equivalent
           case _: Exception if Files.exists(cache) =>
             import scala.jdk.CollectionConverters._
-            Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            val st = Files.walk(tmp)
+            try st.sorted(java.util.Comparator.reverseOrder())
               .iterator().asScala.foreach(Files.deleteIfExists(_))
+            finally st.close()
         }
       }
     }

@@ -66,15 +66,22 @@ object Pipeline {
   }
 
   /** Deterministic stratified sampling: cap every stratum (language,
-    * source, …) at ~`cap` docs via a per-stratum keep-percentage and the
+    * source, …) at ~`cap` docs via a per-stratum keep-rate and the
     * same partition-independent multiplicative hash as [[splitAssign]] —
     * the SAME docs survive on any cluster, any partitioning, any day
-    * (reservoir/Bernoulli sampling can't promise that). Integer-exact:
-    * pct = min(100, cap·100 div total), keep iff hash-bucket(key) < pct,
-    * so the realized rate tracks the target within 1% granularity. One
-    * count shuffle on the stratum column (map-side combined, one row per
-    * stratum) broadcast back over the corpus — the corpus itself never
-    * shuffles. Keeps `stratum_total` / `sample_pct` as audit columns.
+    * (reservoir/Bernoulli sampling can't promise that). Integer-exact, in
+    * parts-per-million: ppm = min(1e6, max(1, cap·1e6 div total)), keep iff
+    * hash-bucket(key) < ppm, so the realized rate tracks the target within
+    * 0.0001% granularity. The max(1, _) clamp means a stratum larger than
+    * cap·1e6 rows keeps ~total/1e6 docs (≥ cap) instead of silently losing
+    * the ENTIRE stratum to a floored-to-zero rate — overshooting the cap is
+    * the documented behavior in that regime (use [[Scale.stratifiedSample]]
+    * for an exact cap on bounded strata). Null stratum keys are a stratum
+    * like any other: the totals join is null-safe (`<=>`), so docs with a
+    * null lang/source are sampled, not dropped. One count shuffle on the
+    * stratum column (map-side combined, one row per stratum) broadcast back
+    * over the corpus — the corpus itself never shuffles. Keeps
+    * `stratum_total` / `sample_ppm` as audit columns.
     *
     * Complement of [[Scale.stratifiedSample]] (exact top-n per stratum via
     * a keyed window): that one guarantees the cap exactly but puts each
@@ -84,13 +91,18 @@ object Pipeline {
     */
   def stratifiedSample(df: DataFrame, strata: String, cap: Long,
       keyCol: String = "doc_id"): DataFrame = {
+    val ppm =
+      if (cap <= 0) lit(0L)
+      else least(lit(1000000L),
+        greatest(lit(1L), expr(s"${cap * 1000000L} div stratum_total")))
     val totals = df.groupBy(strata)
       .agg(count(lit(1)).as("stratum_total"))
-      .withColumn("sample_pct",
-        least(lit(100L), expr(s"${cap * 100} div stratum_total")))
-    val bucket = (col(keyCol) % 1000003L) * lit(2654435761L) % 4294967296L % 100
-    df.join(broadcast(totals), Seq(strata))
-      .filter(bucket < col("sample_pct"))
+      .withColumn("sample_ppm", ppm)
+      .withColumnRenamed(strata, "__stratum")
+    val bucket = (col(keyCol) % 1000003L) * lit(2654435761L) % 4294967296L % 1000000L
+    df.join(broadcast(totals), col(strata) <=> col("__stratum"))
+      .drop("__stratum")
+      .filter(bucket < col("sample_ppm"))
   }
 
   private def langStats(df: DataFrame): DataFrame =
@@ -281,19 +293,20 @@ object Pipeline {
         stratifiedSample(tbl(s, d, "documents"), "lang", cap = 60L)
           .groupBy("lang")
           .agg(max(col("stratum_total")).cast("long").as("total"),
-            max(col("sample_pct")).cast("long").as("pct"),
+            max(col("sample_ppm")).cast("long").as("ppm"),
             count(lit(1)).as("kept"),
             sum(col("n_chars")).cast("long").as("kept_chars"))
           .orderBy(asc_nulls_first("lang"))
       },
       Some("""WITH cnt AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY lang),
-             |r AS (SELECT lang, total, LEAST(100, 6000 // total) AS pct FROM cnt),
+             |r AS (SELECT lang, total,
+             |  LEAST(1000000, GREATEST(1, 60000000 // total)) AS ppm FROM cnt),
              |k AS (
-             |  SELECT d.lang, r.total, r.pct, d.n_chars
-             |  FROM documents d JOIN r ON d.lang = r.lang
-             |  WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 100 < r.pct)
+             |  SELECT d.lang, r.total, r.ppm, d.n_chars
+             |  FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+             |  WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 1000000 < r.ppm)
              |SELECT lang, CAST(MAX(total) AS BIGINT) AS total,
-             |  CAST(MAX(pct) AS BIGINT) AS pct,
+             |  CAST(MAX(ppm) AS BIGINT) AS ppm,
              |  COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
              |FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
     )

@@ -46,10 +46,9 @@ class ApiSpec extends SparkSpec {
 
   test("pre-start AddOptions: transforms and fail sink attach before start") {
     // the reference's AddOptions applies options to a constructed bus
-    // (frizzle.go:82-87, incl. FailSink rewiring options.go:35-41); send
-    // transforms and the fail sink also rewire LIVE (epoch granularity,
-    // see the live-rewire test in BusSpec); receive transforms are fused
-    // into the source plan at start() and stay pre-start-only
+    // (frizzle.go:82-87, incl. FailSink rewiring options.go:35-41); all of
+    // receive/send transforms and the fail sink also rewire LIVE (epoch
+    // granularity, see the live-rewire tests in BusSpec)
     val src = new MemorySource(spark)
     val sink = new MemorySink
     val dlq = new MemorySink
@@ -70,10 +69,6 @@ class ApiSpec extends SparkSpec {
       "added receive+send transforms must round-trip the frame")
     assert(dlq.sent("dead").map(_.dataUtf8) == Seq("fail"),
       "added fail sink and fail dest must receive the failed row")
-    // after start() only the RECEIVE chain is frozen (fused into the plan);
-    // send transforms and the fail sink stay live-rewirable
-    intercept[IllegalArgumentException](
-      bus.addReceiveTransforms(SeparatorTransform.utf8("\n")))
     // a live fail-sink rewire must fail fast on an unaddressable failDest —
     // the same guard start() applies, or the rewire could poison the next
     // dead-letter write

@@ -324,6 +324,64 @@ class BusSpec extends SparkSpec {
     bus.flushAndClose(10000)
   }
 
+  test("AddOptions rewires RECEIVE transforms on a LIVE bus") {
+    // reference parity: the consume loop re-reads f.tforms per message
+    // (frizzle.go:97-102), so AddOptions affects the receive direction
+    // mid-run too. Our receive chain applies at epoch entry in runBatch
+    // (NOT fused into the source plan), so a live append takes effect at
+    // the next epoch boundary like every other rewire.
+    val (src, sink, _, bus) = newBus()
+    bus.start()
+    src.put(Msg.utf8("r1", "BAR"))
+    bus.awaitIdle()
+    // uppercase payload routes nowhere pre-rewire (processor only sends
+    // all-lowercase data)
+    assert(sink.sent("all-lower").isEmpty)
+
+    // live receive rewire: lowercase incoming payloads BEFORE routing
+    val lowerReceive = new MsgTransform {
+      def onReceive(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("data", encode(lower(col("data").cast("string")), "UTF-8"))
+      def onSend(df: org.apache.spark.sql.DataFrame) = df
+    }
+    bus.addReceiveTransforms(lowerReceive)
+    src.put(Msg.utf8("r2", "BAZ"))
+    bus.awaitIdle()
+    // the next epoch sees the rewired receive chain: BAZ → baz → routed
+    assert(sink.sent("all-lower").map(_.dataUtf8) == Seq("baz"),
+      s"post-rewire epoch must apply the added receive transform: " +
+        s"${sink.sent("all-lower").map(_.dataUtf8)}")
+    assert(bus.events.exists(e =>
+      e.level == "info" && e.message.contains("receive transform")))
+    bus.flushAndClose(10000)
+  }
+
+  test("A→B→A fail-sink rewire cycle closes each sink exactly once") {
+    // regression: re-installing a previously retired sink left it both in
+    // retiredSinks and current → double close at flushAndClose
+    final class CountingSink extends BusSink {
+      private val inner = new MemorySink
+      val closes = new java.util.concurrent.atomic.AtomicInteger
+      def write(batch: org.apache.spark.sql.Dataset[Msg], dest: String, batchId: Long): Unit =
+        inner.write(batch, dest, batchId)
+      override def close(): Unit = closes.incrementAndGet()
+    }
+    val src = new MemorySource(spark)
+    val a = new CountingSink
+    val b = new CountingSink
+    val bus = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(dest = lit(null).cast("string"), failed = lit(true)),
+      new MemorySink, Some(a),
+      checkpointDir = Some(Files.createTempDirectory("aback").toString))
+    bus.start()
+    bus.withFailSink(b).withFailSink(a).withFailSink(b).withFailSink(a)
+    src.put(Msg.utf8("x", "dead"))
+    bus.awaitIdle()
+    bus.flushAndClose(10000)
+    assert(a.closes.get == 1, s"sink A closed ${a.closes.get} times, expected 1")
+    assert(b.closes.get == 1, s"sink B closed ${b.closes.get} times, expected 1")
+  }
+
   test("start() refuses a second start on the same bus") {
     val (src, _, _, bus) = newBus()
     bus.start()

@@ -61,13 +61,41 @@ class PipelineSpec extends SparkSpec {
     val k3 = kept(3)
     // partition-independence: the SAME docs survive under any layout
     assert(k3 == kept(13))
-    // selection replicates the documented hash rule exactly
+    // selection replicates the documented hash rule exactly (per-million)
     val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
     val expect = docs.select("doc_id", "lang").as[(Long, String)].collect()
       .filter { case (id, lang) =>
-        val pct = math.min(100L, 2000L / totals(lang))
-        id % 1000003L * 2654435761L % 4294967296L % 100 < pct
+        val ppm = math.min(1000000L, math.max(1L, 20000000L / totals(lang)))
+        id % 1000003L * 2654435761L % 4294967296L % 1000000L < ppm
       }.map(_._1).toSet
     assert(k3 == expect)
+  }
+
+  test("stratifiedSample: null-stratum rows are sampled, not dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, "en"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "lang")
+    // cap ≥ every stratum total → ppm = 1e6 → everything survives,
+    // INCLUDING the null stratum (the totals join is null-safe)
+    val kept = graft.ops.Pipeline.stratifiedSample(df, "lang", cap = 100L)
+    assert(kept.count() == 4, "null-lang docs must survive the totals join")
+    assert(kept.filter(col("lang").isNull).count() == 2)
+  }
+
+  test("stratifiedSample: over-capped stratum keeps ~total/1e6 docs, never zero rate") {
+    import spark.implicits._
+    // total (1.2M) > cap·1e6 (1·1e6): the old percent-granularity rate
+    // floored to 0 and silently DELETED the stratum; per-million + clamp
+    // keeps rate=1ppm — the stratum survives, overshooting the cap
+    val n = 1200000L
+    val df = spark.range(n).select(col("id").as("doc_id"), lit("en").as("lang"))
+    val out = graft.ops.Pipeline.stratifiedSample(df, "lang", cap = 1L)
+    val ppm = out.select("sample_ppm").distinct().as[Long].collect()
+    assert(ppm.isEmpty || ppm.sameElements(Array(1L)))
+    // exact expected set under the documented hash rule at 1 ppm
+    val expect = (0L until n).count(id =>
+      id % 1000003L * 2654435761L % 4294967296L % 1000000L < 1L)
+    assert(out.count() == expect,
+      s"clamped 1-ppm rate must keep the hash-selected $expect docs")
   }
 }
