@@ -161,6 +161,38 @@ object AudioCodec {
       }
     } catch { case _: Exception => None }
 
+  /** L2-normalized spectral band energies over decoded PCM — a real audio
+    * content descriptor (two encodings of the same signal give the same
+    * spectrum; no byte statistic can promise that). One Goertzel recurrence
+    * per band k at normalized frequency ω_k = π·(k+0.5)/dim rad/sample —
+    * dim single-bin DFTs at 1 multiply-add per sample per band, no FFT
+    * library needed. A learned audio encoder would slot in here; the band
+    * spectrum is the model-free baseline.
+    */
+  def bandEnergies(samples: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    if (n == 0) return out
+    var k = 0
+    while (k < dim) {
+      val coeff = 2.0 * math.cos(math.Pi * (k + 0.5) / dim)
+      var s1 = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < n) {
+        val s0 = samples(i) + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
+        i += 1
+      }
+      val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      out(k) = (math.sqrt(math.max(0.0, p)) / n).toFloat
+      k += 1
+    }
+    val nrm = math.sqrt(out.iterator.map(v => v.toDouble * v.toDouble).sum)
+    if (nrm > 0) out.map(v => (v / nrm).toFloat) else out
+  }
+
   /** Deterministic test tone: two seeded harmonics, amplitude < 1. */
   def synthWav(seed: Long, nSamples: Int, hz: Int): Array[Byte] = {
     val f1 = 100.0 + math.floorMod(seed, 300)

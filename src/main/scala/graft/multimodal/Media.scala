@@ -39,12 +39,18 @@ final case class MediaFeatures(
     media_id: Long,
     features: Array[Float])
 
-/** One sampled frame of a video payload. */
+/** One sampled frame of a video payload. `frame_idx` is the SAMPLE index
+  * (0..n-1 of the requested uniform timestamps); `frame_ms` is the actual
+  * timestamp of the decoded frame. `decoded_ok` = the bytes are a real
+  * demuxed frame (a JPEG, for MJPEG streams); false marks the degraded
+  * byte-slice fallback for payloads no demuxer recognizes.
+  */
 final case class Frame(
     media_id: Long,
     frame_idx: Int,
     frame_ms: Long,
-    frame_bytes: Array[Byte])
+    frame_bytes: Array[Byte],
+    decoded_ok: Boolean)
 
 /** One fixed-duration chunk of an audio payload with its signal stats. */
 final case class AudioChunk(

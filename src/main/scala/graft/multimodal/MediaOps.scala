@@ -21,21 +21,25 @@ import org.apache.spark.sql.functions._
   *     decode fans out to `parallelism` partitions sized for executor
   *     memory, independent of the upstream file layout.
   *
-  * CODEC STATUS: the image path is REAL — payloads are actual PNG bytes,
+  * CODEC STATUS: all three modalities are REAL. Images: actual PNG bytes,
   * decoded with JDK `javax.imageio` (dims, Rec.601 luminance, bilinear
-  * resize + re-encode). The audio path is REAL — payloads are RIFF/WAVE
-  * 16-bit PCM, decoded with JDK `javax.sound.sampled` (per-chunk RMS over
-  * true samples). Video frame *decode* and the feature-extraction encoder
-  * remain deterministic stubs (`FakeCodec`) — the JDK has no video demuxer
-  * and no vision model; the mapPartitions plumbing around them is the real
-  * shape a production codec would drop into.
+  * resize + re-encode). Audio: RIFF/WAVE 16-bit PCM, decoded with JDK
+  * `javax.sound.sampled` (per-chunk RMS and Goertzel band spectra over
+  * true samples). Video: MJPEG-in-AVI, demuxed by [[VideoCodec]]'s RIFF
+  * chunk walker — sampled frames are the actual JPEGs the stream carries,
+  * decoded to pixels by the same ImageIO path as still images. Features
+  * are content descriptors over decoded pixels/samples (a learned encoder
+  * would replace the descriptor kernels; the mapPartitions shape is the
+  * one it needs). `FakeCodec` remains ONLY as the degraded fallback for
+  * payloads no codec recognizes.
   */
 object MediaOps {
 
-  /** Deterministic stand-in for the codec surface the JDK cannot provide:
-    * video frame seek/decode and the learned feature-extraction encoder.
-    * Also the documented fallback when a payload fails real decode, so
-    * corrupt bytes degrade instead of failing a partition.
+  /** Deterministic degraded fallback for payloads NO real codec recognizes
+    * (corrupt bytes, foreign containers), so they degrade instead of
+    * failing a partition. Every recognized modality takes a real path:
+    * ImageCodec (ImageIO), AudioCodec (javax.sound + Goertzel),
+    * VideoCodec (RIFF/MJPEG demux).
     */
   object FakeCodec {
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
@@ -59,9 +63,9 @@ object MediaOps {
     }
 
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
-      // ??? real impl: vision/audio encoder forward pass (a model, not a
-      // codec — out of scope offline). Fake: bucketed byte histogram,
-      // L2-normalized — deterministic and non-degenerate.
+      // fallback only — recognized payloads get content descriptors over
+      // DECODED pixels/samples (contentFeatures). Fake: bucketed byte
+      // histogram, L2-normalized — deterministic and non-degenerate.
       val acc = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) {
@@ -134,13 +138,17 @@ object MediaOps {
   }
 
   /** Extract a fixed-dim feature vector per media item — the bridge into
-    * the similarity/ANN operators (graft.ops.Similarity). Decodable images
-    * get a CONTENT descriptor (luminance histogram over real pixels —
-    * invariant to the payload's encoding, unlike any byte statistic);
-    * other payloads fall back to the byte-histogram stub. A learned
-    * encoder would replace both kernels; the mapPartitions shape (load
-    * weights once per partition, batch the forward pass) is already the
-    * one it needs.
+    * the similarity/ANN operators (graft.ops.Similarity). Every decodable
+    * modality gets a CONTENT descriptor (invariant to the payload's
+    * encoding, unlike any byte statistic):
+    *   - images: luminance histogram over the real decoded pixels;
+    *   - audio: Goertzel spectral band energies over the real decoded PCM;
+    *   - video: luminance histograms of up to 3 uniformly-sampled REAL
+    *     demuxed frames, pooled and renormalized.
+    * Only payloads no codec recognizes fall back to the byte-histogram
+    * stub. A learned encoder would replace these kernels; the
+    * mapPartitions shape (load weights once per partition, batch the
+    * forward pass) is already the one it needs.
     */
   def extractFeatures(media: Dataset[MediaItem], dim: Int = 64,
       parallelism: Int = 0): Dataset[MediaFeatures] = {
@@ -150,18 +158,56 @@ object MediaOps {
     parted.mapPartitions { it =>
       // per-partition: real impl loads the encoder weights HERE, once.
       it.map { m =>
-        val f = ImageCodec.decode(m.content) match {
-          case Some(img) => ImageCodec.lumaHistogram(img, dim)
-          case None => FakeCodec.embed(m.content, dim)
-        }
+        val f = contentFeatures(m.content, dim)
         MediaFeatures(m.media_id, f)
       }
     }
   }
 
-  /** Sample up to `n` frames per video payload at uniform timestamps. Frame
-    * extraction is flatMap-shaped: output cardinality is bounded (n per
-    * item), executor-local, never driver-side.
+  /** The modality-dispatching feature kernel: image → audio → video codec
+    * probes (each probe is a cheap header check that returns None on a
+    * foreign container), byte-histogram fallback last.
+    */
+  private[multimodal] def contentFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    ImageCodec.decode(bytes) match {
+      case Some(img) => ImageCodec.lumaHistogram(img, dim)
+      case None =>
+        AudioCodec.decodeWavPcm16(bytes) match {
+          case Some((samples, _)) => AudioCodec.bandEnergies(samples, dim)
+          case None =>
+            VideoCodec.demux(bytes) match {
+              case Some(s) =>
+                // pool ≤3 uniformly-placed real frames: first, middle, last
+                val idxs = Seq(0, s.nFrames / 2, s.nFrames - 1).distinct
+                val hists = idxs.flatMap { i =>
+                  ImageCodec.decode(VideoCodec.frameBytes(bytes, s, i))
+                    .map(ImageCodec.lumaHistogram(_, dim))
+                }
+                if (hists.isEmpty) FakeCodec.embed(bytes, dim)
+                else {
+                  val acc = new Array[Float](dim)
+                  hists.foreach { h =>
+                    var i = 0
+                    while (i < dim) { acc(i) += h(i); i += 1 }
+                  }
+                  val n = math.sqrt(acc.iterator.map(v => v.toDouble * v.toDouble).sum)
+                  if (n > 0) acc.map(v => (v / n).toFloat) else acc
+                }
+              case None => FakeCodec.embed(bytes, dim)
+            }
+        }
+    }
+
+  /** Sample up to `n` frames per video payload at uniform timestamps —
+    * REAL demux: MJPEG-AVI payloads are parsed by [[VideoCodec]] (RIFF
+    * chunk walk), each requested timestamp seeks to its containing frame,
+    * and the emitted bytes are the actual JPEG the stream carries (decode
+    * with [[ImageCodec.decode]]). Payloads no demuxer recognizes degrade
+    * to a stable byte-slice fallback marked `decoded_ok=false` — filterable
+    * downstream, never a task failure. Frame extraction is flatMap-shaped:
+    * output cardinality is bounded (n per item), executor-local, never
+    * driver-side; the demuxer indexes (offset, length) pairs and only the
+    * n SELECTED frames are ever copied out of the payload.
     */
   def sampleFrames(media: Dataset[MediaItem], n: Int): Dataset[Frame] = {
     val spark = media.sparkSession
@@ -170,15 +216,26 @@ object MediaOps {
       .filter(col("media_type").startsWith("video/"))
       .mapPartitions { it =>
         it.flatMap { m =>
-          val dur = if (m.duration_ms > 0) m.duration_ms else 1000L
-          (0 until n).iterator.map { i =>
-            val ts = dur * i / n
-            // ??? real impl: seek+decode the frame at ts (no JDK demuxer).
-            // Fake: a stable byte slice keyed by frame index.
-            val len = math.max(1, m.content.length / n)
-            val off = math.min(i * len, math.max(0, m.content.length - len))
-            Frame(m.media_id, i, ts,
-              java.util.Arrays.copyOfRange(m.content, off, math.min(off + len, m.content.length)))
+          VideoCodec.demux(m.content) match {
+            case Some(s) =>
+              val dur = math.max(1L, s.durationMs)
+              (0 until n).iterator.map { i =>
+                val idx = s.frameIndexAt(dur * i / n)
+                Frame(m.media_id, i, s.frameMs(idx),
+                  VideoCodec.frameBytes(m.content, s, idx), decoded_ok = true)
+              }
+            case None =>
+              // fallback: a stable byte slice keyed by frame index
+              val dur = if (m.duration_ms > 0) m.duration_ms else 1000L
+              (0 until n).iterator.map { i =>
+                val ts = dur * i / n
+                val len = math.max(1, m.content.length / n)
+                val off = math.min(i * len, math.max(0, m.content.length - len))
+                Frame(m.media_id, i, ts,
+                  java.util.Arrays.copyOfRange(m.content, off,
+                    math.min(off + len, m.content.length)),
+                  decoded_ok = false)
+              }
           }
         }
       }
@@ -234,10 +291,10 @@ object MediaOps {
   }
 
   /** Media fixture over the documents table: REAL payloads — tiny PNGs for
-    * image rows, 16-bit PCM WAV tones for audio rows (both seeded from
-    * `xxhash64(text)`, so content is deterministic regardless of
-    * partitioning), UTF-8 text bytes for video rows (opaque; no JDK video
-    * encoder). Materialized once per scale factor to a parquet cache and
+    * image rows, 16-bit PCM WAV tones for audio rows, MJPEG-AVI clips for
+    * video rows (all seeded from `xxhash64(text)`, so content is
+    * deterministic regardless of partitioning). Materialized once per
+    * scale factor to a parquet cache and
     * read back, so (a) payload synthesis costs once, not per query, and
     * (b) the media table is a genuine parquet source — metadata-only
     * queries prune the binary column at the scan.
@@ -266,21 +323,27 @@ object MediaOps {
       md.digest().take(12).map("%02x".format(_)).mkString
     }
     val cache = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-media-fixture-v3",
+      "graft-media-fixture-v4", // v4: video rows became real MJPEG-AVI
       s"${Paths.get(dir).getFileName}-$fingerprint")
     if (!Files.exists(cache)) synchronized {
       if (!Files.exists(cache)) {
         val tmp = cache.resolveSibling(cache.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
         graft.ops.tbl(spark, dir, "documents")
           .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-            xxhash64(col("text")).as("seed"), encode(col("text"), "UTF-8").as("text_bytes"))
-          .as[(Long, Long, Long, Array[Byte])]
+            xxhash64(col("text")).as("seed"))
+          .as[(Long, Long, Long)]
           .mapPartitions { it =>
             val ts0 = new Timestamp(0L)
-            it.map { case (id, nChars, seed, textBytes) =>
+            it.map { case (id, nChars, seed) =>
               math.floorMod(id, 5).toInt match {
-                case 0 => // video: opaque payload, metadata-declared duration
-                  MediaItem(id, "video/fake", textBytes, -1, -1, nChars * 10, ts0)
+                case 0 => // video: real MJPEG-AVI clip, 4–8 frames @ 10 fps
+                  val nF = 4 + math.floorMod(seed >> 24, 5).toInt
+                  val fps = 10
+                  val w = 32 + math.floorMod(seed, 17).toInt
+                  val h = 32 + math.floorMod(seed >> 16, 17).toInt
+                  MediaItem(id, "video/avi",
+                    VideoCodec.synthMjpegAvi(seed, w, h, nF, fps),
+                    w, h, nF * 1000L / fps, ts0)
                 case 1 => // audio: real WAV; duration capped to bound fixture size
                   val durMs = math.max(500L, math.min(nChars * 10, 2000L))
                   val hz = 4000

@@ -9,8 +9,9 @@ import graft.multimodal.MediaOps
 /** Multimodal-column queries (north-star op family): the documents fixture
   * is viewed as opaque binary media payloads with typed metadata
   * (graft.multimodal), then decoded / frame-sampled / embedded via batched
-  * per-partition operators. Decode internals are a deterministic codec stub
-  * (no native codecs in the image) — the plumbing and plan shapes are real.
+  * per-partition operators. All three modality kernels are REAL JDK codecs:
+  * ImageIO PNG/JPEG decode, javax.sound PCM + Goertzel spectra, and a
+  * hand-rolled RIFF/MJPEG-AVI demuxer (graft.multimodal.VideoCodec).
   *
   * No SQL oracle (codec outputs are engine-specific); invariants are pinned
   * by graft.MultimodalSpec.
@@ -39,7 +40,8 @@ object Multimodal {
         MediaOps.sampleFrames(MediaOps.mediaFromDocuments(s, d), 4)
           .toDF()
           .select(col("media_id"), col("frame_idx"), col("frame_ms"),
-            length(col("frame_bytes")).cast("long").as("frame_len"))
+            length(col("frame_bytes")).cast("long").as("frame_len"),
+            col("decoded_ok"))
           .orderBy(asc_nulls_first("media_id"), asc_nulls_first("frame_idx"))
       },
       None

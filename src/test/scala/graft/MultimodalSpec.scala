@@ -60,6 +60,18 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
       fs.foreach(f => assert(f.frame_ms >= 0 && f.frame_bytes.nonEmpty))
     }
+    // the fixture is real MJPEG-AVI: every sampled frame is a REAL demuxed
+    // JPEG that ImageIO decodes at the container-declared dims
+    assert(frames.forall(_.decoded_ok), "fixture videos must demux")
+    val dims = media.filter(col("media_type").startsWith("video/"))
+      .select("media_id", "width", "height").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    frames.foreach { f =>
+      val img = ImageCodec.decode(f.frame_bytes)
+      assert(img.isDefined, s"frame of ${f.media_id} must be a decodable JPEG")
+      assert((img.get.getWidth, img.get.getHeight) == dims(f.media_id),
+        s"frame dims must match the AVI header for ${f.media_id}")
+    }
   }
 
   test("chunkAudio covers the duration, audio-only, stable under repartition") {
@@ -215,10 +227,125 @@ class MultimodalSpec extends SparkSpec {
     val rows = media.collect()
     val images = rows.filter(_.media_type.startsWith("image/"))
     val audios = rows.filter(_.media_type.startsWith("audio/"))
-    assert(images.nonEmpty && audios.nonEmpty)
+    val videos = rows.filter(_.media_type.startsWith("video/"))
+    assert(images.nonEmpty && audios.nonEmpty && videos.nonEmpty)
     images.foreach(m => assert(ImageCodec.decode(m.content).isDefined,
       s"media ${m.media_id}: image payload must decode with ImageIO"))
     audios.foreach(m => assert(AudioCodec.decodeWavPcm16(m.content).isDefined,
       s"media ${m.media_id}: audio payload must decode as PCM16 WAV"))
+    videos.foreach { m =>
+      val s = VideoCodec.demux(m.content)
+      assert(s.isDefined, s"media ${m.media_id}: video payload must demux as AVI")
+      assert(s.get.nFrames >= 4 && s.get.width == m.width &&
+        s.get.height == m.height && s.get.durationMs == m.duration_ms)
+    }
+  }
+
+  // --- real-video-codec assertions (RIFF/MJPEG demux) ---
+
+  test("AVI mux/demux roundtrip is byte-exact per frame, timing intact") {
+    // known JPEG frames in → demux → the SAME bytes out (the demuxer
+    // slices, never transcodes), geometry and µs/frame from the headers
+    val imgs = (0 until 3).map { i =>
+      val im = new java.awt.image.BufferedImage(20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 20) im.setRGB(x, y, (i * 80) << 16 | (x * 12) << 8 | y * 20)
+      VideoCodec.encodeJpeg(im)
+    }
+    val avi = VideoCodec.muxMjpegAvi(imgs, 20, 12, fps = 5)
+    val s = VideoCodec.demux(avi).get
+    assert(s.width == 20 && s.height == 12 && s.nFrames == 3)
+    assert(s.usPerFrame == 200000L && s.durationMs == 600L)
+    (0 until 3).foreach { i =>
+      assert(java.util.Arrays.equals(VideoCodec.frameBytes(avi, s, i), imgs(i)),
+        s"frame $i must roundtrip byte-exact")
+    }
+    // timestamp→frame seek: each frame owns [i·200ms, (i+1)·200ms)
+    assert(s.frameIndexAt(0L) == 0 && s.frameIndexAt(199L) == 0)
+    assert(s.frameIndexAt(200L) == 1 && s.frameIndexAt(599L) == 2)
+    assert(s.frameIndexAt(10000L) == 2, "past-the-end seek clamps to last")
+  }
+
+  test("sampleFrames decodes EXACT pixel content of a known fixture video") {
+    // a solid-gray MJPEG frame survives JPEG (DC-only block) — pin the
+    // decoded luminance EXACTLY against a direct decode of the same bytes
+    val gray = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) gray.setRGB(x, y, 0x808080)
+    val jpeg = VideoCodec.encodeJpeg(gray)
+    val avi = VideoCodec.muxMjpegAvi(Seq(jpeg, jpeg), 16, 16, fps = 4)
+    val ds = Seq(item(30L, "video/avi", avi)).toDS()
+    val frames = MediaOps.sampleFrames(ds, 2).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2 && frames.forall(_.decoded_ok))
+    assert(frames.map(_.frame_ms).toSeq == Seq(0L, 250L))
+    val expected = ImageCodec.meanLuma(ImageCodec.decode(jpeg).get)
+    frames.foreach { f =>
+      val img = ImageCodec.decode(f.frame_bytes).get
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      assert(ImageCodec.meanLuma(img) == expected,
+        "sampled frame bytes ARE the muxed JPEG: luminance must match exactly")
+    }
+    // and the gray luma itself is what JPEG preserved: 0x80/255 ± quantization
+    assert(math.abs(expected - 128.0 / 255.0) < 0.01)
+  }
+
+  test("non-AVI video payloads degrade to the marked byte-slice fallback") {
+    val junk = Array.tabulate[Byte](100)(i => (i * 13).toByte)
+    val ds = Seq(item(31L, "video/mp4", junk)).toDS()
+    val frames = MediaOps.sampleFrames(ds, 4).collect()
+    assert(frames.length == 4 && frames.forall(f => !f.decoded_ok))
+    assert(frames.forall(_.frame_bytes.nonEmpty))
+  }
+
+  // --- content-based feature assertions ---
+
+  test("audio features are spectral: a pure tone peaks in its Goertzel band") {
+    // tone at band k's center frequency ω = π(k+0.5)/dim rad/sample
+    val dim = 64
+    val k = 10
+    val w = math.Pi * (k + 0.5) / dim
+    val samples = Array.tabulate(4000)(i => 0.7 * math.sin(w * i))
+    val e = AudioCodec.bandEnergies(samples, dim)
+    assert(e.indexOf(e.max) == k, s"tone must peak at band $k, got ${e.indexOf(e.max)}")
+    // descriptor is over DECODED samples: WAV-encoding the tone changes the
+    // bytes but not the spectrum (16-bit quantization tolerance)
+    val viaWav = MediaOps.extractFeatures(
+      Seq(item(40L, "audio/wav", AudioCodec.encodeWavPcm16(samples, 8000))).toDS(),
+      dim = dim).collect().head.features
+    assert(viaWav.indexOf(viaWav.max) == k)
+    e.zip(viaWav).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+  }
+
+  test("video features come from decoded frames, and a planted near-dup image ranks first") {
+    // video: features of an AVI of solid-gray frames == features of the
+    // gray still image (both are luma histograms over decoded pixels)
+    val gray = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) gray.setRGB(x, y, 0x808080)
+    val avi = VideoCodec.muxMjpegAvi(Seq(VideoCodec.encodeJpeg(gray)), 16, 16, 4)
+    val still = ImageCodec.encodePng(gray)
+    val f = MediaOps.extractFeatures(Seq(
+      item(50L, "video/avi", avi), item(51L, "image/png", still)).toDS())
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    assert(f(50L) == f(51L),
+      "same pixels via video demux or still decode must embed identically")
+
+    // planted near-duplicate: A' = A with a few pixels nudged must rank
+    // nearest to A under cosine over the features, beating distinct B/C
+    def mk(fill: Int => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(24, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 24) im.setRGB(x, y, fill(y * 24 + x))
+      ImageCodec.encodePng(im)
+    }
+    val a = mk(i => (i * 3) % 256 << 16 | (i * 7) % 256)
+    val aDup = mk(i => if (i % 97 == 0) 0xffffff else (i * 3) % 256 << 16 | (i * 7) % 256)
+    val b = mk(i => 0x00ff00)
+    val c = mk(i => (255 - i % 256) << 8 | i % 256 << 16)
+    val feats = MediaOps.extractFeatures(Seq(
+      item(60L, "image/png", a), item(61L, "image/png", aDup),
+      item(62L, "image/png", b), item(63L, "image/png", c)).toDS())
+      .collect().map(r => r.media_id -> r.features).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val sims = Seq(61L, 62L, 63L).map(id => id -> cos(feats(60L), feats(id)))
+    assert(sims.maxBy(_._2)._1 == 61L,
+      s"planted near-dup must rank first by cosine: $sims")
   }
 }
