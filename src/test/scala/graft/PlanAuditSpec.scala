@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec
   private val boundedBnlj = Set(
     "q_subquery_scalar", "q_tfidf", // 1-row aggregated threshold / corpus size N
     "q_sim_cosine_topk", "q_embed_neardup", "q_sim_cosine_ivf", // fixed probe set
+    "q_sim_quantized_topk", // ≤5 packed probe rows broadcast (non-equi ≠ join)
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
@@ -159,7 +160,7 @@ class PlanAuditSpec extends SparkSpec
   // codes (probes × 64) and per-stratum rates (one row per stratum) are all
   // explicitly hinted — a refactor that drops the hint and lets these plan
   // as sort-merge joins re-shuffles the corpus/code frame for no reason
-  Seq("q_embed_quantize", "q_sim_quantized_topk", "q_stratified_sample")
+  Seq("q_embed_quantize", "q_stratified_sample")
     .foreach { name =>
       test(s"$name joins its small side as a broadcast, never sort-merge") {
         val plan = query(name).queryExecution.executedPlan.toString
@@ -169,6 +170,23 @@ class PlanAuditSpec extends SparkSpec
           s"$name plans a sort-merge join — the small side must broadcast:\n$plan")
       }
     }
+
+  test("q_sim_quantized_topk: packed scan — no per-dim explode, broadcast-only joins") {
+    // the r10 packed shape: the corpus is never exploded to per-dim rows in
+    // the distance path (the codes frame is localCheckpointed, so the
+    // declared plan's ONLY joins are the broadcast probe nested-loop), and
+    // the distance is a single zip_with/aggregate projection per
+    // (probe, vec) row feeding the top-k window
+    val plan = query("q_sim_quantized_topk").queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"packed quantized scan must not explode the corpus per-dim:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe side must broadcast (bounded probe set):\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast probe join (non-equi ≠ condition):\n$plan")
+    assert(plan.contains("zip_with") && plan.contains("aggregate("),
+      s"distance must be the one-pass array fold:\n$plan")
+  }
 
   test("q_dedup_incremental pushes a partial top-1 below the window shuffle") {
     // Spark's rank-limit pushdown (WindowGroupLimit) is the map-side

@@ -148,4 +148,67 @@ class PropertySpec extends SparkSpec {
         s.getBytes(StandardCharsets.UTF_8), StandardCharsets.UTF_8)
     }, n = 50)
   }
+
+  test("clipped quantization stats bound inlier error; outliers can't destroy resolution") {
+    // 200 inlier vectors uniform in [0,1] + 2 planted outliers at ±50.
+    // Exact min/max stats spread [-50,50] over 256 codes → inlier step
+    // ~0.39; clipped (p1/p99) stats keep the range ≈[0,1] → step ~0.004.
+    // Property: reconstructing each INLIER value from its clipped code has
+    // max error ≤ 2·(clipped range)/256 (the 2× covers percentile_approx
+    // slack + edge clamping), and is strictly tighter than the exact-stats
+    // reconstruction — i.e. clipping bought back the resolution the
+    // outliers destroyed.
+    val dim = 4
+    val rnd = new scala.util.Random(42)
+    val inliers = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble().toFloat)))
+    val outliers = Seq(
+      (900L, Array.fill(dim)(50.0f)), (901L, Array.fill(dim)(-50.0f)))
+    val emb = (inliers ++ outliers).toDF("vec_id", "embedding")
+
+    def reconErr(stats: org.apache.spark.sql.DataFrame): Double = {
+      val rng = stats.collect()
+        .map(r => r.getInt(0) -> (r.getFloat(1).toDouble, r.getFloat(2).toDouble)).toMap
+      val codes = graft.ops.Similarity.quantizeScalar(emb, stats)
+        .as[(Long, Int, Long)].collect()
+        .map { case (id, pos, c) => (id, pos) -> c }.toMap
+      // in-range inliers only: a value below the clip floor clamps to code
+      // 0 by design (error = its distance to the range, not a resolution
+      // question) — the resolution property is about values the range covers
+      inliers.iterator.flatMap { case (id, v) =>
+        v.iterator.zipWithIndex.collect {
+          case (x, pos) if x >= rng(pos)._1 && x <= rng(pos)._2 =>
+            val (mn, mx) = rng(pos)
+            val xhat = mn + (codes((id, pos)) + 0.5) * (mx - mn) / 256.0
+            math.abs(x - xhat)
+        }
+      }.max
+    }
+    val exactErr = reconErr(graft.ops.Similarity.quantizeStats(emb))
+    val clipped = graft.ops.Similarity.quantizeStats(emb, clipLo = 0.01, clipHi = 0.99)
+    val clippedErr = reconErr(clipped)
+    val maxClippedRange = clipped.collect()
+      .map(r => r.getFloat(2).toDouble - r.getFloat(1).toDouble).max
+    assert(maxClippedRange < 1.5, s"p1/p99 range must hug the inliers: $maxClippedRange")
+    assert(clippedErr <= 2.0 * maxClippedRange / 256.0 + 1e-9,
+      s"inlier reconstruction error $clippedErr exceeds the per-code bound")
+    assert(clippedErr < exactErr / 10,
+      s"clipping must restore resolution: clipped=$clippedErr exact=$exactErr")
+  }
+
+  test("sampled quantization stats are deterministic and nested within exact ranges") {
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    def rngMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2))).toMap
+    val exact = rngMap(graft.ops.Similarity.quantizeStats(emb))
+    val s1 = rngMap(graft.ops.Similarity.quantizeStats(emb, sampleFraction = 0.5))
+    // hash sample is partition-independent: same vectors → same ranges
+    val s2 = rngMap(graft.ops.Similarity.quantizeStats(
+      emb.repartition(7), sampleFraction = 0.5))
+    assert(s1 == s2, "hash-sampled stats must not depend on partitioning")
+    s1.foreach { case (pos, (mn, mx)) =>
+      val (emn, emx) = exact(pos)
+      assert(mn >= emn && mx <= emx, s"sampled range must nest in exact at dim $pos")
+    }
+  }
 }

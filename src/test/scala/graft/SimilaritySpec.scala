@@ -324,4 +324,48 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0) -> 0L, (2L, 0) -> 128L, (3L, 0) -> 255L,
       (1L, 1) -> 0L, (2L, 1) -> 0L, (3L, 1) -> 0L))
   }
+
+  test("quantizePacked codes are element-identical to the per-dim frame") {
+    // the packed array is the SCALE layout of the same quantization: every
+    // (vec, pos) code must match quantizeScalar exactly — same double
+    // arithmetic against the same broadcast ranges, different shape only
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val stats = graft.ops.Similarity.quantizeStats(emb)
+    val perDim = graft.ops.Similarity.quantizeScalar(emb, stats)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, pos, code) => (id, pos) -> code }.toMap
+    val packed = graft.ops.Similarity.quantizePacked(emb, stats)
+      .as[(Long, Array[Long])].collect()
+    assert(packed.nonEmpty)
+    packed.foreach { case (id, codes) =>
+      codes.zipWithIndex.foreach { case (c, pos) =>
+        assert(c == perDim((id, pos)),
+          s"vec $id pos $pos: packed $c != per-dim ${perDim((id, pos))}")
+      }
+    }
+  }
+
+  test("packedQuantizedTopK equals the per-dim quantized top-5 exactly") {
+    // the declared q_sim_quantized_topk runs the packed scan; this is the
+    // Spark-side half of the cross-check (DuckDB's per-dim SQL is the
+    // other): the 64×-shorter plan returns the identical integer ranking
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val packed = query("q_sim_quantized_topk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val codes = graft.ops.Similarity.quantizeScalar(emb)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    val perDim = (0L until 5L).flatMap { p =>
+      codes.view.filterKeys(_ != p).toSeq
+        .map { case (id, cs) =>
+          val d = cs.zip(codes(p)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (p, id, d, (i + 1).toLong) }
+    }
+    assert(packed == perDim)
+  }
 }
