@@ -45,20 +45,42 @@ object TextOps {
       size(regexp_extract_all(regexp_replace(c, EmailPattern, "[EMAIL]"),
         lit(LongDigitPattern), lit(0)))).cast("long")
 
+  /** Tag-body atom shared by the markup patterns: consumes attribute text
+    * INCLUDING `>` inside single- or double-quoted attribute values, so
+    * `<a href="x>y">` strips as one tag instead of splitting at the quoted
+    * `>`. No lookarounds, no backrefs — valid in both Java regex and RE2.
+    */
+  private val TagBody = """[^>"']*("[^"]*"[^>"']*|'[^']*'[^>"']*)*"""
+
+  /** The four markup patterns, in application order (public so the oracle
+    * SQL renders the IDENTICAL strings — one definition, two engines).
+    */
+  val CommentPattern = "(?s)<!--.*?-->"
+  val ScriptStylePattern = s"(?s)<(script|style)$TagBody>.*?</(script|style)\\s*>"
+  val TagPattern = s"<[!/]?[a-zA-Z]$TagBody>"
+  val EntityPattern = "&[a-zA-Z]+;|&#[0-9]+;|&#[xX][0-9a-fA-F]+;"
+
   /** Strip HTML/XML markup from ANY text column — the extraction step
     * ahead of every web-corpus pipeline (boilerplate removal lite):
-    * script/style blocks go WITH their payload, then tags, then character
-    * entities (replaced by a space, not decoded — this is a strip, not a
-    * renderer), then whitespace collapses. Pure codegen'd projection in
-    * the shared Java-regex/RE2 dialect (inline (?s) dotall, lazy
-    * repetition, character classes — no lookarounds), so the SAME
-    * patterns drive the engine and the DuckDB oracle.
+    * comments go first (they may contain bare `>`), then script/style
+    * blocks WITH their payload (lazy match to the nearest close tag),
+    * then tags (quote-aware: a `>` inside a quoted attribute does not end
+    * the tag; newlines inside tags are fine — the char classes match
+    * them without dotall), then character entities, named/decimal/hex
+    * (replaced by a space, not decoded — this is a strip, not a
+    * renderer), then whitespace collapses. Unclosed tags (`<p` with no
+    * `>`) are NOT markup by this grammar and survive as text — the
+    * documented, oracle-agreed behavior. Pure codegen'd projection in the
+    * shared Java-regex/RE2 dialect (inline (?s) dotall, lazy repetition,
+    * character classes — no lookarounds), so the SAME patterns drive the
+    * engine and the DuckDB oracle.
     */
   def stripMarkup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " "),
-      "<[^>]+>", " "),
-      "&[a-zA-Z]+;|&#[0-9]+;", " "),
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      CommentPattern, " "),
+      ScriptStylePattern, " "),
+      TagPattern, " "),
+      EntityPattern, " "),
       "\\s+", " "))
 
   /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
@@ -612,18 +634,23 @@ object TextOps {
     Q(
       // HTML boilerplate stripping — the raw-web extraction step. The
       // corpus is plain text, so markup is synthesized around each doc
-      // (same convention as q_pii_scrub's contact field): a title with a
-      // character entity, a paragraph wrapper, and a script block whose
-      // payload must vanish WITH its tags. Narrow projection, no shuffle
-      // before the declared sort; the reusable TextOps.stripMarkup is the
-      // single definition both this query and any pipeline stage compose.
+      // (same convention as q_pii_scrub's contact field) — and since r10
+      // the markup VARIES deterministically per doc_id across five
+      // adversarial shapes: `>` inside quoted attributes, named/decimal/
+      // hex entities, comments containing bare `>`, self-closing tags,
+      // ADJACENT script/script and script/style blocks, and a trailing
+      // unclosed tag (which by the documented grammar survives as text).
+      // Narrow projection, no shuffle before the declared sort; the
+      // reusable TextOps.stripMarkup is the single definition both this
+      // query and any pipeline stage compose, and its pattern constants
+      // render verbatim into the oracle SQL.
       "q_html_strip",
       (s, d) => {
+        val v = pmod(col("doc_id"), lit(5)).cast("int")
         tbl(s, d, "documents")
           .select(col("doc_id"),
-            concat(lit("<html><body><h1>Doc &amp; title</h1><p>"), col("text"),
-              lit("</p><script>var tracking = 42;</script></body></html>"))
-              .as("html"))
+            concat(get(array(HtmlPrefixes.map(lit): _*), v), col("text"),
+              get(array(HtmlSuffixes.map(lit): _*), v)).as("html"))
           .select(col("doc_id"),
             stripMarkup(col("html")).as("clean"),
             size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0)))
@@ -632,26 +659,61 @@ object TextOps {
           .withColumn("clean_chars", length(col("clean")).cast("long"))
           .orderBy(asc_nulls_first("doc_id"))
       },
-      Some("""WITH h AS (
+      Some(s"""WITH h AS (
              |  SELECT doc_id,
-             |    '<html><body><h1>Doc &amp; title</h1><p>' || text ||
-             |      '</p><script>var tracking = 42;</script></body></html>' AS html
+             |    list_extract(${sqlStrList(HtmlPrefixes)},
+             |      CAST(doc_id % 5 AS INTEGER) + 1) || text ||
+             |    list_extract(${sqlStrList(HtmlSuffixes)},
+             |      CAST(doc_id % 5 AS INTEGER) + 1) AS html
              |  FROM documents)
              |SELECT doc_id,
-             |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-             |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-             |    '<[^>]+>', ' ', 'g'),
-             |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'),
-             |    '\s+', ' ', 'g')) AS clean,
+             |  ${stripSqlExpr("html")} AS clean,
              |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
              |  CAST(len(html) AS BIGINT) AS raw_chars,
-             |  CAST(len(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-             |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-             |    '<[^>]+>', ' ', 'g'),
-             |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'),
-             |    '\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+             |  CAST(len(${stripSqlExpr("html")}) AS BIGINT) AS clean_chars
              |FROM h
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
+
+  /** The five deterministic markup variants wrapped around each document
+    * (variant = doc_id % 5). Together they exercise every edge the strip
+    * grammar claims to handle: [0] quoted `>` in attributes + named/
+    * decimal/hex entities; [1] DOCTYPE + a comment containing bare `>` +
+    * quoted `>` inside a script tag's attribute + adjacent script/style
+    * blocks; [2] self-closing tags + two ADJACENT script blocks; [3] a
+    * style block + a trailing UNCLOSED `<p` (stays in the text — not a tag
+    * by the grammar); [4] an entity inside a tag body (goes with the tag).
+    * No newlines: a `\\n` in a Spark lit() is a real newline but a literal
+    * backslash-n in a DuckDB '' string — newline-in-tag is pinned
+    * Scala-side in TextEdgeSpec instead.
+    */
+  // lazy: referenced while `all` (declared above) initializes
+  private[ops] lazy val HtmlPrefixes: Seq[String] = Seq(
+    """<html> <body class="a>b" data-x='1>2'> <h1 title="x>y">T &amp; &#65; &#x41;</h1> <p>""",
+    """<!DOCTYPE html><!-- nav > breadcrumb --><body><p class="wide">""",
+    """<body><br/><img src='pix>els.png'/><p>""",
+    """<html><body><h1>Doc &amp; title</h1><p>""",
+    """<body &bogus; ><p id='main'>""")
+  private[ops] lazy val HtmlSuffixes: Seq[String] = Seq(
+    """</p><script>var a = 1 < 2;</script></body></html>""",
+    """</p><script src="t.js>x">track()</script><style>p { color: red }</style></body>""",
+    """</p><script>a()</script><script>b()</script></html>""",
+    """</p><style type="text/css">.x { }</style></body><p""",
+    """</p><!-- trailing > comment --></body></html>""")
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlStrList(xs: Seq[String]): String =
+    xs.map(sqlLit).mkString("[", ", ", "]")
+
+  /** Render the stripMarkup chain as DuckDB SQL over `col` — the SAME
+    * pattern constants, so the two engines cannot drift.
+    */
+  private def stripSqlExpr(col: String): String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"$col, ${sqlLit(CommentPattern)}, ' ', 'g'), " +
+      s"${sqlLit(ScriptStylePattern)}, ' ', 'g'), " +
+      s"${sqlLit(TagPattern)}, ' ', 'g'), " +
+      s"${sqlLit(EntityPattern)}, ' ', 'g'), " +
+      "'\\s+', ' ', 'g'))"
 }

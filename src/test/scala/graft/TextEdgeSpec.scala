@@ -98,4 +98,40 @@ class TextEdgeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows(1L) == 1L && rows(2L) == 1L && rows(3L) == 4L)
   }
+
+  private def strip(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(graft.ops.TextOps.stripMarkup(org.apache.spark.sql.functions.col("t")))
+      .as[String].head()
+  }
+
+  test("stripMarkup: quoted '>' inside attributes does not end the tag") {
+    assert(strip("""pre <a href="x>y" title='a>b'>link</a> post""") ==
+      "pre link post")
+    // and the same inside a script tag's attribute: the block still goes
+    // whole, payload included
+    assert(strip("""a <script src="t.js>x">track()</script> b""") == "a b")
+  }
+
+  test("stripMarkup: adjacent and multiple script/style blocks each go whole") {
+    assert(strip("x <script>a()</script><script>b()</script> y") == "x y")
+    assert(strip("x <script>a()</script><style>p { color: red }</style> y") == "x y")
+  }
+
+  test("stripMarkup: comments (with bare '>'), entities, newlines in tags") {
+    assert(strip("a <!-- nav > breadcrumb --> b") == "a b")
+    assert(strip("T &amp; &#65; &#x41; U") == "T U")
+    // newline INSIDE a tag: char classes match it without dotall (this
+    // case is Scala-pinned because a \n literal renders differently in
+    // Spark lit() vs a DuckDB '' string — see HtmlPrefixes scaladoc)
+    assert(strip("a <p\nclass=\"wide\">b</p> c") == "a b c")
+  }
+
+  test("stripMarkup: self-closing, DOCTYPE, unclosed-tag survival") {
+    assert(strip("a <br/><img src='pix>els.png'/> b") == "a b")
+    assert(strip("<!DOCTYPE html>a") == "a")
+    // an unclosed tag is not markup by the grammar: it survives as text
+    assert(strip("a </p>trail<p") == "a trail<p")
+  }
 }
