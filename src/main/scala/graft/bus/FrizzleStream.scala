@@ -87,7 +87,11 @@ final class FrizzleStream(
     checkpointDir: Option[String] = None,
     triggerIntervalMs: Long = 0L,
     defaultFlushTimeoutMs: Long = 30000L,
-    rateLogIntervalMs: Long = 30000L) {
+    rateLogIntervalMs: Long = 30000L,
+    // epoch-aware processor: takes (batch, epochId) and REPLACES `process`
+    // when set — for stages that maintain cross-epoch state keyed by epoch
+    // (e.g. SeenHashIndex.dedupEpoch's replay-safe incremental dedup)
+    epochProcess: Option[(DataFrame, Long) => DataFrame] = None) {
 
   import spark.implicits._
 
@@ -275,7 +279,7 @@ final class FrizzleStream(
     // (reference re-reads f.tforms per message, frizzle.go:97-102; epoch
     // granularity is our documented consistency unit)
     val received = epochReceiveTransforms.foldLeft(batch)((df, t) => t.onReceive(df))
-    val routed = process(received)
+    val routed = epochProcess.map(_(received, batchId)).getOrElse(process(received))
       .select(col("id"), col("data"), col("ts"),
         col("dest").cast("string").as("dest"), col("failed").cast("boolean").as("failed"))
       .persist()

@@ -382,6 +382,52 @@ class BusSpec extends SparkSpec {
     assert(b.closes.get == 1, s"sink B closed ${b.closes.get} times, expected 1")
   }
 
+  test("streaming incremental dedup across micro-batches equals the batch answer") {
+    // the scale claim at Dedup.scala (incrementalDedup: "at 100 TB the
+    // seen side IS a maintained hash index") as a tested behavior: replay
+    // the documents fixture through the bus in doc_id-ordered micro-batches
+    // with a SeenHashIndex epoch stage; the surviving set must equal
+    // q_dedup_incremental's batch-mode answer exactly.
+    import spark.implicits._
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val want = query("q_dedup_incremental")
+      .select("doc_id").as[Long].collect().toSet
+
+    val idx = new SeenHashIndex(spark,
+      Files.createTempDirectory("seenidx").toString)
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, src,
+      process = df => df, // unused: the epoch-aware stage replaces it
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("incdedup_ck").toString),
+      epochProcess = Some((df, epoch) =>
+        idx.dedupEpoch(df, epoch)
+          .withColumn("dest", lit("kept"))
+          .withColumn("failed", lit(false))))
+    bus.start()
+    // fixed-width ids: the in-epoch first-copy window orders by the string
+    // id, which must agree with numeric doc_id order
+    def msgs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => Msg.utf8(f"$id%06d", t) }
+    // epoch 0: the already-ingested corpus (doc_id < 100) seeds the index
+    src.put(msgs(docs.filter(_._1 < 100).toSeq): _*)
+    bus.awaitIdle()
+    // the arriving "crawl" (doc_id >= 100) in 3 doc_id-ordered epochs
+    val arriving = docs.filter(_._1 >= 100).toSeq
+    arriving.grouped(arriving.length / 3 + 1).foreach { g =>
+      src.put(msgs(g): _*)
+      bus.awaitIdle()
+    }
+    bus.flushAndClose(20000)
+    val got = sink.sent("kept").map(_.id.toLong).filter(_ >= 100L).toSet
+    assert(got == want,
+      s"streaming survivors must equal the batch answer: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("start() refuses a second start on the same bus") {
     val (src, _, _, bus) = newBus()
     bus.start()
