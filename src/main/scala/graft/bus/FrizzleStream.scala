@@ -117,6 +117,12 @@ final class FrizzleStream(
   @volatile private var failCfgV: FailConfig = FailConfig(failSink, failDest)
   @volatile private var sendTransformsV: Seq[MsgTransform] = sendTransforms
   @volatile private var receiveTransformsV: Seq[MsgTransform] = receiveTransforms
+  // Mutators serialize on this lock: each rewire is a read-modify-write
+  // (append to a chain, retire the old fail sink), and volatile alone only
+  // covers reader-vs-writer — two concurrent AddOptions calls could lose a
+  // transform or skip retiring a sink. Epoch readers stay lock-free (one
+  // volatile read per snapshot); only the rare mutation path pays.
+  private val rewireLock = new Object
 
   /** AddOptions analog: append receive transforms — callable on a LIVE bus,
     * matching the reference's consume loop which re-reads f.tforms per
@@ -124,7 +130,7 @@ final class FrizzleStream(
     * entry in runBatch (not fused into the source plan), so a live append
     * takes effect at the next epoch boundary like every other rewire. */
   def addReceiveTransforms(ts: MsgTransform*): FrizzleStream = {
-    receiveTransformsV = receiveTransformsV ++ ts
+    rewireLock.synchronized { receiveTransformsV = receiveTransformsV ++ ts }
     if (query != null)
       eventQueue.add(BusEvent("info",
         s"live rewire: +${ts.size} receive transform(s) from next epoch"))
@@ -135,7 +141,7 @@ final class FrizzleStream(
     * (frizzle.go:82-87). Takes effect at the next epoch boundary; the
     * in-flight micro-batch finishes under the config it snapshotted. */
   def addSendTransforms(ts: MsgTransform*): FrizzleStream = {
-    sendTransformsV = sendTransformsV ++ ts
+    rewireLock.synchronized { sendTransformsV = sendTransformsV ++ ts }
     if (query != null)
       eventQueue.add(BusEvent("info",
         s"live rewire: +${ts.size} send transform(s) from next epoch"))
@@ -149,26 +155,29 @@ final class FrizzleStream(
     * fail-fast as start() applies — a live rewire must not be able to
     * poison the next dead-letter write. */
   def withFailSink(fs: BusSink, dest: Option[String] = None): FrizzleStream = {
-    val old = failCfgV
-    val next = FailConfig(Some(fs), dest.getOrElse(old.dest))
-    // validate the COMPLETE new pair before publishing: the new sink must
-    // address the dest it will actually be paired with
-    require(fs.safeDest(next.dest),
-      s"failDest '${next.dest}' is not addressable by the fail sink " +
-        "(safeDest=false): rewiring it would poison the next dead-letter write")
-    // the replaced sink cannot close yet — an in-flight epoch may have
-    // snapshotted it and still be writing; it retires at flushAndClose.
-    // Skip if it IS the incoming sink or already retired (an A→B→A cycle
-    // must not queue A twice — flushAndClose closes each sink once).
-    old.sink.filter(_ ne fs)
-      .filterNot(o => retiredSinks.asScala.exists(_ eq o))
-      .foreach(retiredSinks.add)
-    // single volatile write: an epoch snapshot sees either the complete old
-    // pair or the complete new pair, never a torn mix
-    failCfgV = next
+    val applied = rewireLock.synchronized {
+      val old = failCfgV
+      val next = FailConfig(Some(fs), dest.getOrElse(old.dest))
+      // validate the COMPLETE new pair before publishing: the new sink must
+      // address the dest it will actually be paired with
+      require(fs.safeDest(next.dest),
+        s"failDest '${next.dest}' is not addressable by the fail sink " +
+          "(safeDest=false): rewiring it would poison the next dead-letter write")
+      // the replaced sink cannot close yet — an in-flight epoch may have
+      // snapshotted it and still be writing; it retires at flushAndClose.
+      // Skip if it IS the incoming sink or already retired (an A→B→A cycle
+      // must not queue A twice — flushAndClose closes each sink once).
+      old.sink.filter(_ ne fs)
+        .filterNot(o => retiredSinks.asScala.exists(_ eq o))
+        .foreach(retiredSinks.add)
+      // single volatile write: an epoch snapshot sees either the complete
+      // old pair or the complete new pair, never a torn mix
+      failCfgV = next
+      next
+    }
     if (query != null)
       eventQueue.add(BusEvent("info",
-        s"live rewire: fail sink -> dest '${next.dest}' from next epoch"))
+        s"live rewire: fail sink -> dest '${applied.dest}' from next epoch"))
     this
   }
 

@@ -221,8 +221,14 @@ object MediaOps {
               val dur = math.max(1L, s.durationMs)
               (0 until n).iterator.map { i =>
                 val idx = s.frameIndexAt(dur * i / n)
-                Frame(m.media_id, i, s.frameMs(idx),
-                  VideoCodec.frameBytes(m.content, s, idx), decoded_ok = true)
+                val fb = VideoCodec.frameBytes(m.content, s, idx)
+                // decoded_ok means "a JPEG ImageCodec can decode" — the
+                // demuxer also collects `##db` (uncompressed DIB) chunks,
+                // so sniff the JPEG SOI marker per frame instead of
+                // trusting the container.
+                val isJpeg = fb.length >= 2 &&
+                  (fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8
+                Frame(m.media_id, i, s.frameMs(idx), fb, decoded_ok = isJpeg)
               }
             case None =>
               // fallback: a stable byte slice keyed by frame index

@@ -131,7 +131,11 @@ object VideoCodec {
 
   /** Demux an MJPEG AVI payload. Returns None (never throws) for non-AVI /
     * truncated / frameless bytes, so a corrupt payload degrades instead of
-    * failing a 10^6-row partition.
+    * failing a 10^6-row partition. The chunk walk is ITERATIVE (explicit
+    * segment stack, not recursion — nested-LIST depth is attacker-
+    * controlled) and advances in Long arithmetic: a size field ≥ 2^31 must
+    * clamp to the segment end, not wrap negative and stall or rewind the
+    * cursor.
     */
   def demux(bytes: Array[Byte]): Option[MjpegStream] =
     try {
@@ -142,39 +146,60 @@ object VideoCodec {
       var height = -1
       var usPerFrame = 0L
       val frames = Vector.newBuilder[(Int, Int)]
-      def walk(from: Int, until: Int): Unit = {
-        var p = from
-        while (p + 8 <= until) {
-          val id = fourcc(bytes, p)
-          val sz = u32(bytes, p + 4)
-          val body = p + 8
-          val bodyEnd = math.min(until.toLong, body + sz).toInt
-          id match {
-            case "RIFF" | "LIST" => walk(body + 4, bodyEnd) // skip the list type fourcc
-            case "avih" if sz >= 4 => usPerFrame = u32(bytes, body)
-            case "strh" if sz >= 28 && fourcc(bytes, body) == "vids" =>
-              // rate/scale is the authoritative fps if avih was absent
-              val scale = u32(bytes, body + 20)
-              val rate = u32(bytes, body + 24)
-              if (usPerFrame <= 0 && rate > 0) usPerFrame = 1000000L * scale / rate
-            case "strf" if sz >= 12 && width < 0 =>
-              width = u32(bytes, body + 4).toInt
-              height = u32(bytes, body + 8).toInt
-            case _ if id.length == 4 &&
-              (id.endsWith("dc") || id.endsWith("db")) &&
-              id.take(2).forall(_.isDigit) =>
-              if (bodyEnd - body > 0) frames += ((body, bodyEnd - body))
-            case _ => () // JUNK, idx1, INFO, … — skip by size
+      // Preorder walk with an explicit continuation stack: entering a LIST
+      // pushes the remainder of the current segment and narrows to the list
+      // body, so chunks are still visited in document order (first-wins
+      // fields like strf keep their semantics).
+      var p = 12
+      var until = end
+      var stack = List.empty[(Int, Int)]
+      var done = false
+      while (!done) {
+        if (p + 8 > until) {
+          stack match {
+            case (a, b) :: t => p = a; until = b; stack = t
+            case Nil => done = true
           }
-          p = body + sz.toInt + (sz.toInt & 1)
+        } else {
+          val id = fourcc(bytes, p)
+          val sz = u32(bytes, p + 4) // u32: 0..2^32-1, never negative
+          val body = p + 8
+          val bodyEnd = math.min(until.toLong, body.toLong + sz).toInt
+          // next sibling offset in Long; ≥ p+8 always, clamp to segment end
+          val next = math.min(until.toLong, body.toLong + sz + (sz & 1L)).toInt
+          id match {
+            case "RIFF" | "LIST" =>
+              if (bodyEnd - body > 4) {
+                stack = (next, until) :: stack
+                p = body + 4 // skip the list type fourcc
+                until = bodyEnd
+              } else p = next
+            case _ =>
+              id match {
+                case "avih" if sz >= 4 => usPerFrame = u32(bytes, body)
+                case "strh" if sz >= 28 && fourcc(bytes, body) == "vids" =>
+                  // rate/scale is the authoritative fps if avih was absent
+                  val scale = u32(bytes, body + 20)
+                  val rate = u32(bytes, body + 24)
+                  if (usPerFrame <= 0 && rate > 0) usPerFrame = 1000000L * scale / rate
+                case "strf" if sz >= 12 && width < 0 =>
+                  width = u32(bytes, body + 4).toInt
+                  height = u32(bytes, body + 8).toInt
+                case _ if id.length == 4 &&
+                  (id.endsWith("dc") || id.endsWith("db")) &&
+                  id.take(2).forall(_.isDigit) =>
+                  if (bodyEnd - body > 0) frames += ((body, bodyEnd - body))
+                case _ => () // JUNK, idx1, INFO, … — skip by size
+              }
+              p = next
+          }
         }
       }
-      walk(12, end)
       val fs = frames.result()
       if (fs.isEmpty || width <= 0 || height <= 0) None
       else Some(MjpegStream(width, height,
         if (usPerFrame > 0) usPerFrame else 1000000L / 25, fs))
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Slice frame `idx`'s JPEG bytes out of the payload. */
   def frameBytes(bytes: Array[Byte], s: MjpegStream, idx: Int): Array[Byte] = {

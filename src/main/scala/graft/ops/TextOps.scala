@@ -52,18 +52,25 @@ object TextOps {
     */
   private val TagBody = """[^>"']*("[^"]*"[^>"']*|'[^']*'[^>"']*)*"""
 
-  /** The four markup patterns, in application order (public so the oracle
+  /** The five markup patterns, in application order (public so the oracle
     * SQL renders the IDENTICAL strings — one definition, two engines).
+    * Script and style blocks are SEPARATE patterns so a block terminates
+    * only at its OWN close tag: a combined `<(script|style)…</(script|
+    * style)>` alternation would let a mismatched `<script>payload</style>`
+    * swallow the payload (RE2 has no backreferences, so two patterns is
+    * the shared-dialect way to pair open with close).
     */
   val CommentPattern = "(?s)<!--.*?-->"
-  val ScriptStylePattern = s"(?s)<(script|style)$TagBody>.*?</(script|style)\\s*>"
+  val ScriptPattern = s"(?s)<script$TagBody>.*?</script\\s*>"
+  val StylePattern = s"(?s)<style$TagBody>.*?</style\\s*>"
   val TagPattern = s"<[!/]?[a-zA-Z]$TagBody>"
   val EntityPattern = "&[a-zA-Z]+;|&#[0-9]+;|&#[xX][0-9a-fA-F]+;"
 
   /** Strip HTML/XML markup from ANY text column — the extraction step
     * ahead of every web-corpus pipeline (boilerplate removal lite):
-    * comments go first (they may contain bare `>`), then script/style
-    * blocks WITH their payload (lazy match to the nearest close tag),
+    * comments go first (they may contain bare `>`), then script, then
+    * style blocks WITH their payload (lazy match to the nearest MATCHING
+    * close tag — `</style>` does not terminate a `<script>` block),
     * then tags (quote-aware: a `>` inside a quoted attribute does not end
     * the tag; newlines inside tags are fine — the char classes match
     * them without dotall), then character entities, named/decimal/hex
@@ -76,9 +83,10 @@ object TextOps {
     * engine and the DuckDB oracle.
     */
   def stripMarkup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
       CommentPattern, " "),
-      ScriptStylePattern, " "),
+      ScriptPattern, " "),
+      StylePattern, " "),
       TagPattern, " "),
       EntityPattern, " "),
       "\\s+", " "))
@@ -710,9 +718,10 @@ object TextOps {
     * pattern constants, so the two engines cannot drift.
     */
   private def stripSqlExpr(col: String): String =
-    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       s"$col, ${sqlLit(CommentPattern)}, ' ', 'g'), " +
-      s"${sqlLit(ScriptStylePattern)}, ' ', 'g'), " +
+      s"${sqlLit(ScriptPattern)}, ' ', 'g'), " +
+      s"${sqlLit(StylePattern)}, ' ', 'g'), " +
       s"${sqlLit(TagPattern)}, ' ', 'g'), " +
       s"${sqlLit(EntityPattern)}, ' ', 'g'), " +
       "'\\s+', ' ', 'g'))"

@@ -295,6 +295,60 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.nonEmpty))
   }
 
+  // little-endian u32 append, for hand-crafting corrupt RIFF payloads
+  private def le32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  test("demux terminates on a chunk size field >= 2^31 (no spin, no rewind)") {
+    // a size of 0xFFFFFFF8 is -8 as an Int: a cursor advanced in Int
+    // arithmetic would stall in place forever. The walk must clamp in Long
+    // and finish — degrading to None, never hanging the executor task.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); le32(out, 1000L)
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write("00dc".getBytes("US-ASCII")); le32(out, 0xFFFFFFF8L)
+    out.write(Array.fill[Byte](64)(0x11))
+    val t0 = System.nanoTime()
+    assert(VideoCodec.demux(out.toByteArray).isEmpty)
+    assert((System.nanoTime() - t0) < 5e9, "corrupt-size demux must return promptly")
+  }
+
+  test("demux survives deeply nested LIST headers (no StackOverflowError)") {
+    // ~200k nested LISTs would blow a recursive walker's stack — and
+    // StackOverflowError is an Error, escaping a `catch Exception` and
+    // failing the task despite the never-throws contract. The iterative
+    // walk returns None (no frames) on heap-bounded state.
+    val depth = 200000
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); le32(out, 4L + depth * 12L)
+    out.write("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      out.write("LIST".getBytes("US-ASCII"))
+      le32(out, (depth - i) * 12L - 8L)
+      out.write("rec ".getBytes("US-ASCII"))
+    }
+    assert(VideoCodec.demux(out.toByteArray).isEmpty)
+  }
+
+  test("sampleFrames sniffs JPEG SOI per frame: non-JPEG chunks are decoded_ok=false") {
+    // a structurally valid AVI whose '00dc' payload is NOT a JPEG (e.g. an
+    // uncompressed DIB stream): demux succeeds and the real frame bytes
+    // come through, but decoded_ok must reflect decodability, not the
+    // container's say-so
+    val notJpeg = Array.tabulate[Byte](48)(i => (i * 7 + 3).toByte)
+    val avi = VideoCodec.muxMjpegAvi(Seq(notJpeg, notJpeg), 8, 8, fps = 4)
+    val frames = MediaOps.sampleFrames(Seq(item(32L, "video/avi", avi)).toDS(), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 2)
+    // demux path, not the byte-slice fallback: the emitted bytes are the
+    // exact muxed chunk and timing comes from the stream header
+    assert(frames.forall(f => java.util.Arrays.equals(f.frame_bytes, notJpeg)))
+    assert(frames.map(_.frame_ms).toSeq == Seq(0L, 250L))
+    assert(frames.forall(f => !f.decoded_ok), "non-JPEG frames must not claim decodability")
+  }
+
   // --- content-based feature assertions ---
 
   test("audio features are spectral: a pure tone peaks in its Goertzel band") {

@@ -128,6 +128,18 @@ class TextEdgeSpec extends SparkSpec {
     assert(strip("a <p\nclass=\"wide\">b</p> c") == "a b c")
   }
 
+  test("stripMarkup: a block terminates only at its OWN close tag") {
+    // mismatched pair: no </script> anywhere, so there is no script BLOCK —
+    // the tags strip singly and the payload SURVIVES (a combined
+    // <(script|style)>…</(script|style)> alternation used to swallow it)
+    assert(strip("a <script>keep me</style> b") == "a keep me b")
+    assert(strip("a <style>.x { } </script> b") == "a .x { } b")
+    // a stray </style> INSIDE a properly closed script block does not
+    // terminate it early: the block still goes whole
+    assert(strip("a <script>x</style>y</script> b") == "a b")
+    assert(strip("a <style>p{}</script>q</style> b") == "a b")
+  }
+
   test("stripMarkup: self-closing, DOCTYPE, unclosed-tag survival") {
     assert(strip("a <br/><img src='pix>els.png'/> b") == "a b")
     assert(strip("<!DOCTYPE html>a") == "a")
