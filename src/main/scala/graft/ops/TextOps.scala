@@ -640,6 +640,62 @@ object TextOps {
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Gopher/C4-style RULE-BASED quality filter — the standard
+      // pre-training curation gate (length bounds, mean-word-length band,
+      // minimum stopword evidence, symbol-to-word ceiling), emitted as one
+      // boolean per named rule plus the composed keep decision, so a
+      // pipeline can both filter on `keep` and audit WHICH rule rejected
+      // each document. All rule comparisons are exact-integer (cross-
+      // multiplied bounds, never a float threshold) — bit-identical across
+      // engines; the one double metric is a single final IEEE division.
+      // Narrow projection, no shuffle below the declared sort: at 100 TB
+      // this is a scan-speed map stage, composable in front of any
+      // pipeline the same way scrubPii/stripMarkup are.
+      "q_quality_rules",
+      (s, d) => {
+        val wc = size(split(col("text"), " ")).cast("long")
+        val charsNw = length(regexp_replace(col("text"), " ", "")).cast("long")
+        val stopHits = (size(split(concat(lit(" "), col("text"), lit(" ")),
+          " (the|a|of|and|to|in) ")) - 1).cast("long")
+        val symCnt = (length(col("text")) -
+          length(regexp_replace(col("text"), "[#@%]", ""))).cast("long")
+        tbl(s, d, "documents")
+          .select(col("doc_id"), wc.as("n_words"), charsNw.as("n_chars_nw"),
+            stopHits.as("stop_hits"), symCnt.as("sym_cnt"))
+          .select(col("doc_id"), col("n_words"),
+            (col("n_chars_nw").cast("double") / col("n_words")).as("mean_word_len"),
+            col("stop_hits"), col("sym_cnt"),
+            col("n_words").between(10, 5000).as("r_len"),
+            (col("n_chars_nw") >= col("n_words") * 2 &&
+              col("n_chars_nw") <= col("n_words") * 12).as("r_wlen"),
+            (col("stop_hits") >= 2).as("r_stop"),
+            (col("sym_cnt") * 10 <= col("n_words")).as("r_sym"))
+          .withColumn("keep",
+            col("r_len") && col("r_wlen") && col("r_stop") && col("r_sym"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_chars_nw,
+             |    CAST(len(regexp_split_to_array(' ' || text || ' ',
+             |      ' (the|a|of|and|to|in) ')) - 1 AS BIGINT) AS stop_hits,
+             |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[#@%]', '', 'g'))
+             |      AS BIGINT) AS sym_cnt
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  CAST(n_chars_nw AS DOUBLE) / n_words AS mean_word_len,
+             |  stop_hits, sym_cnt,
+             |  (n_words BETWEEN 10 AND 5000) AS r_len,
+             |  (n_chars_nw >= n_words * 2 AND n_chars_nw <= n_words * 12) AS r_wlen,
+             |  (stop_hits >= 2) AS r_stop,
+             |  (sym_cnt * 10 <= n_words) AS r_sym,
+             |  ((n_words BETWEEN 10 AND 5000)
+             |    AND (n_chars_nw >= n_words * 2 AND n_chars_nw <= n_words * 12)
+             |    AND stop_hits >= 2 AND sym_cnt * 10 <= n_words) AS keep
+             |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // HTML boilerplate stripping — the raw-web extraction step. The
       // corpus is plain text, so markup is synthesized around each doc
       // (same convention as q_pii_scrub's contact field) — and since r10
