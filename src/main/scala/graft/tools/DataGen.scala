@@ -126,7 +126,11 @@ object DataGen {
       hmod("ocust", nCust, col("id")).as("o_custkey"),
       pick("ost", Seq("F", "O", "P"), col("id")).as("o_orderstatus"),
       hdouble("opr", 900.0, 500000.0, 2, col("id")).as("o_totalprice"),
-      timestamp_millis(lit(789609600000L) + orderDay * lit(86400000L)).as("o_orderdate"),
+      // cast to NTZ: the driver fixture's parquet timestamps are
+      // isAdjustedToUTC=false (Spark reads timestamp_ntz); session TZ is
+      // pinned UTC so the cast is value-preserving and deterministic
+      timestamp_millis(lit(789609600000L) + orderDay * lit(86400000L))
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick("opri", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
         col("id")).as("o_orderpriority")), "orders")
 
@@ -145,7 +149,8 @@ object DataGen {
       (hmod("ltax", 9, col("id")) / lit(100.0)).cast("double").as("l_tax"),
       pick("lrf", Seq("A", "N", "R"), col("id")).as("l_returnflag"),
       pick("lls", Seq("F", "O"), col("id")).as("l_linestatus"),
-      timestamp_millis(lit(789696000000L) + shipDay * lit(86400000L)).as("l_shipdate")), "lineitem")
+      timestamp_millis(lit(789696000000L) + shipDay * lit(86400000L))
+        .cast("timestamp_ntz").as("l_shipdate")), "lineitem")
 
     // events: ts is a raw ns-since-epoch LONG (what nanosAsLong yields from
     // the driver's timestamp[ns] files) — monotone in event_id over 30 days

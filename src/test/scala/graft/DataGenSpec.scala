@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Contract tests for tools.DataGen — the generator behind the committed
+  * sf1.0 scale point (PROFILE_sf1.txt). The scale measurement is only as
+  * trustworthy as the fixture, so pin: reproducibility (two runs are
+  * row-identical), schema compatibility with the driver fixture (same
+  * Spark-level column names and types per table), and linear row-count
+  * scaling.
+  */
+class DataGenSpec extends SparkSpec {
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private lazy val genA = {
+    val dir = Files.createTempDirectory("datagen-a").toString
+    tools.DataGen.generate(spark, 0.001, dir); dir
+  }
+
+  private def contentHash(dir: String, t: String): Long = {
+    val df = spark.read.parquet(s"$dir/$t.parquet")
+    // order-insensitive row-content fingerprint: xor-fold of per-row hashes
+    // (xor, not sum — sum overflows Long under ANSI mode)
+    df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+  }
+
+  test("DataGen is reproducible: two runs generate identical content") {
+    val dirB = Files.createTempDirectory("datagen-b").toString
+    tools.DataGen.generate(spark, 0.001, dirB)
+    tables.foreach { t =>
+      assert(contentHash(genA, t) == contentHash(dirB, t),
+        s"$t must be row-identical across runs")
+    }
+  }
+
+  test("DataGen schemas match the driver fixture per table") {
+    tables.foreach { t =>
+      val gen = spark.read.parquet(s"$genA/$t.parquet").schema
+      val drv = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").schema
+      val genCols = gen.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+      val drvCols = drv.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+      assert(genCols == drvCols, s"$t schema drift: gen=$genCols vs driver=$drvCols")
+    }
+  }
+
+  test("DataGen row counts scale linearly with sf") {
+    val dir2 = Files.createTempDirectory("datagen-2x").toString
+    tools.DataGen.generate(spark, 0.002, dir2)
+    Seq("lineitem", "orders", "documents", "events").foreach { t =>
+      val n1 = spark.read.parquet(s"$genA/$t.parquet").count()
+      val n2 = spark.read.parquet(s"$dir2/$t.parquet").count()
+      assert(n2 == 2 * n1, s"$t: sf0.002 must be exactly 2x sf0.001 rows ($n2 vs $n1)")
+    }
+    // dimension tables don't scale
+    assert(spark.read.parquet(s"$dir2/region.parquet").count() == 5)
+    assert(spark.read.parquet(s"$dir2/nation.parquet").count() == 25)
+  }
+
+  test("DataGen events.ts is a raw ns long that tbl() converts like the driver's") {
+    val sch = spark.read.parquet(s"$genA/events.parquet").schema
+    assert(sch("ts").dataType.typeName == "long")
+    val viaTbl = graft.ops.tbl(spark, genA, "events").schema
+    assert(viaTbl("ts").dataType.typeName == "timestamp")
+  }
+}

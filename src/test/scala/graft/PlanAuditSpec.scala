@@ -156,6 +156,14 @@ class PlanAuditSpec extends SparkSpec
       s"markup stripping must not shuffle on a hash key:\n$plan")
   }
 
+  test("q_quality_rules is shuffle-free below the declared sort") {
+    // the rule gate is a pure per-doc projection (exact-integer rule math):
+    // the ONLY exchange allowed is the final ORDER BY's range partitioning
+    val plan = query("q_quality_rules").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"rule gate must not shuffle on a hash key:\n$plan")
+  }
+
   // the r9 broadcast-by-construction joins: per-dim stats (64 rows), probe
   // codes (probes × 64) and per-stratum rates (one row per stratum) are all
   // explicitly hinted — a refactor that drops the hint and lets these plan
