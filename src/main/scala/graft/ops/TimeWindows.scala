@@ -184,6 +184,90 @@ object TimeWindows {
              |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Ordered conversion funnel over the event stream (signup → click →
+      // purchase, each stage strictly AFTER the previous stage's first
+      // hit and within a 24 h conversion window of it): the classic
+      // product-analytics sequence query. Time ordering compares exact µs
+      // integers (unix_micros here, epoch_ns//1000 in the oracle —
+      // identical truncation of the ns source), never floats.
+      // Scale shape: three conditional min-aggregates + joins, ALL keyed
+      // on user_id — one partitioning reused down the chain (co-partitioned
+      // joins, no re-shuffle), stage-2/3 frames only shrink, and the final
+      // rollup is 3 rows. No windows over the raw stream, no per-user
+      // collect.
+      "q_event_funnel",
+      (s, d) => {
+        val e = tbl(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("us")).as("t1"))
+        val dayUs = 86400000000L
+        val s2 = e.join(s1, "user_id")
+          .filter(col("event_type") === "click" &&
+            col("us") > col("t1") && col("us") <= col("t1") + dayUs)
+          .groupBy("user_id").agg(min(col("us")).as("t2"))
+        val s3 = e.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" &&
+            col("us") > col("t2") && col("us") <= col("t2") + dayUs)
+          .groupBy("user_id").agg(min(col("us")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select((lit(1) +
+            when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy(asc_nulls_first("stage"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+             |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND us > t1
+             |         AND us <= t1 + 86400000000 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND us > t2
+             |         AND us <= t2 + 86400000000 GROUP BY e.user_id)
+             |SELECT stage, COUNT(*) AS n_users FROM (
+             |  SELECT CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT
+             |    AS BIGINT) AS stage
+             |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+             |GROUP BY stage ORDER BY stage ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Retention cohorts: users bucketed by first-active day, activity
+      // counted per (cohort_day, day_offset) — the other canonical
+      // event-analytics rollup. Day index = exact integer division of the
+      // µs epoch (div on both engines; floor-consistent for the positive
+      // epoch range), so the grid is integer end to end. Scale shape: one
+      // distinct over (user, day) — the only corpus-sized shuffle — then
+      // a user-keyed min + co-partitioned join back; output is bounded by
+      // span² (30×30 here), independent of corpus size.
+      "q_retention_cohorts",
+      (s, d) => {
+        val d0 = tbl(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val coh = d0.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        d0.join(coh, "user_id")
+          // (user, day) is distinct and cohort_day is functional on user,
+          // so each user hits a (cohort_day, offset) cell at most once —
+          // count(*) IS the distinct-user count, no second distinct agg
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(asc_nulls_first("cohort_day"), asc_nulls_first("day_offset"))
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+             |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+             |FROM d JOIN c USING (user_id)
+             |GROUP BY 1, 2
+             |ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Time-series gap filling: a generated day spine left-joined to the
       // daily aggregate, missing days zero-filled. The spine bounds come
       // from a 1-row aggregate (broadcast), the explode is bounded by the
