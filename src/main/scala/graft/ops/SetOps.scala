@@ -73,6 +73,42 @@ object SetOps {
              |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Unpivot/melt — the inverse report reshape of q_pivot: a wide
+      // per-group aggregate goes long as (group, metric, value). Spark's
+      // native Dataset.unpivot (Expand under the hood — one pass, no join,
+      // no shuffle beyond the feeding agg); the oracle spells the same
+      // reshape as UNION ALL. Metrics sum as exact decimals then cast once
+      // (the engines agree bit-for-bit); reshape output is 3× the agg's
+      // row count, bounded by group cardinality, never corpus-sized.
+      "q_unpivot",
+      (s, d) => {
+        tbl(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(asDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+            asDec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+            asDec(sum(dec(col("l_discount")))).as("sum_disc"))
+          .unpivot(
+            Array(col("l_returnflag"), col("l_linestatus")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "metric", "value")
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus"), asc_nulls_first("metric"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag, l_linestatus, metric, value FROM (
+             |  SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+             |    sum_qty AS value FROM a
+             |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM a
+             |  UNION ALL SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM a)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+             |  metric ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_subquery_scalar",
       (s, d) => {
         // Orders above global average price. The threshold is an exact
