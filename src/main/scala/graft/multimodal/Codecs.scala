@@ -16,18 +16,47 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * static readers are thread-safe per invocation since each read allocates
   * its own ImageReader).
   *
-  * Video stays stubbed (the JDK has no container demuxer); see
-  * MediaOps.FakeCodec.
+  * Video is real too since r10: [[VideoCodec]] hand-parses the RIFF/
+  * MJPEG-AVI container (the JDK ships no demuxer) and the frames are
+  * JPEGs this ImageCodec decodes.
   */
 object ImageCodec {
 
+  /** Pixel-count ceiling for decode: a BufferedImage allocates ~4 bytes per
+    * pixel BEFORE any catch can help, so a decompression bomb (a tiny
+    * payload whose header declares 50000×50000) must be rejected from the
+    * HEADER alone — the allocation would be an OutOfMemoryError, which is
+    * an Error, escapes `catch Exception`, and can take the whole executor
+    * JVM with it, not just the task. 64 M pixels ≈ 256 MB ARGB, far above
+    * any legitimate fixture or thumbnail-scale payload.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF). Returns None
     * for unrecognized or corrupt bytes rather than throwing, so mixed-type
-    * media columns never fail a whole partition.
+    * media columns never fail a whole partition. Dimensions are read from
+    * the header FIRST (ImageReader.getWidth/getHeight decode no pixels);
+    * payloads declaring more than [[MaxDecodePixels]] degrade to None
+    * instead of attempting the allocation.
     */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Mean Rec.601 luminance over all pixels, normalized to [0, 1]. */
   def meanLuma(img: BufferedImage): Double = {

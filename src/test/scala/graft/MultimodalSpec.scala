@@ -295,6 +295,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.nonEmpty))
   }
 
+  test("ImageCodec.decode rejects decompression bombs from the header alone") {
+    // a VALID 8×8 PNG whose IHDR is patched to declare 40000×40000
+    // (1.6 G pixels): decoding would allocate ~6.4 GB before any catch —
+    // an OutOfMemoryError that escapes `catch Exception` and can kill the
+    // executor JVM. The header sniff must return None without attempting
+    // the read. IHDR layout: length(4) "IHDR"(4) w(4) h(4) ... crc(4);
+    // the CRC is recomputed over type+data so the header itself parses.
+    val png = ImageCodec.synthPng(7L, 8, 8)
+    def putBE(v: Int, off: Int): Unit = {
+      png(off) = ((v >> 24) & 0xff).toByte; png(off + 1) = ((v >> 16) & 0xff).toByte
+      png(off + 2) = ((v >> 8) & 0xff).toByte; png(off + 3) = (v & 0xff).toByte
+    }
+    putBE(40000, 16); putBE(40000, 20) // IHDR width, height
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17) // "IHDR" + 13 data bytes
+    putBE(crc.getValue.toInt, 29)
+    val t0 = System.nanoTime()
+    assert(ImageCodec.decode(png).isEmpty, "bomb payload must degrade to None")
+    assert((System.nanoTime() - t0) < 5e9, "rejection must come from the header, not a decode attempt")
+    // and an unpatched payload still decodes fine through the same path
+    assert(ImageCodec.decode(ImageCodec.synthPng(7L, 8, 8)).exists(i =>
+      i.getWidth == 8 && i.getHeight == 8))
+  }
+
   // little-endian u32 append, for hand-crafting corrupt RIFF payloads
   private def le32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
