@@ -54,7 +54,14 @@ object TimeWindows {
     ),
     Q(
       // Per-user sessions with a 30-minute inactivity gap. ScalaTest checks
-      // against a gaps-and-islands formulation.
+      // against a gaps-and-islands formulation — and since r11 the SAME
+      // formulation is the DuckDB oracle (previously a weaker rows-only
+      // row): session boundaries at exact-µs integers (session_window
+      // merges at timestamp precision; ties within one µs are gap-0 and
+      // land in one session either way), session start/end floored to
+      // seconds as exact integer division, so the whole row is
+      // hash-comparable. end = max(ts) + gap, session_window's documented
+      // union semantics.
       "q_session_window",
       (s, d) => {
         tbl(s, d, "events")
@@ -66,7 +73,24 @@ object TimeWindows {
             col("cnt"))
           .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start_s"))
       },
-      None
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |m AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_start
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC NULLS FIRST)),
+             |sess AS (
+             |  SELECT user_id, us,
+             |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY us ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |  CAST(MIN(us) // 1000000 AS BIGINT) AS session_start_s,
+             |  CAST((MAX(us) + 1800000000) // 1000000 AS BIGINT) AS session_end_s,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Gaps-and-islands session COUNT per user, relationally (lag + gap
