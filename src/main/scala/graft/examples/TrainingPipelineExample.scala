@@ -8,7 +8,7 @@ import graft.ops.{Pipeline, Scale}
 /** End-to-end training-data curation pipeline, composed from the engine's
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
-  *   read → markup strip → quality gate → exact dedup →
+  *   read → markup strip → rule gate (Gopher/C4) → quality gate → exact dedup →
   *   MinHash-LSH near-dup removal → PII scrub → per-lang stratified cap →
   *   deterministic sample → train/val/test split →
   *   (split, lang)-partitioned parquet write
@@ -37,8 +37,14 @@ object TrainingPipelineExample {
     val extracted = raw.withColumn("text",
       graft.ops.TextOps.stripMarkup(org.apache.spark.sql.functions.col("text")))
 
-    // 1. quality gate: bounded token count (narrow filter, no shuffle)
-    val quality = Pipeline.qualityGate(extracted)
+    // 1. quality gate: the Gopher/C4-style rule gate (per-rule booleans,
+    //    exact-integer math — see q_quality_rules) composed with the
+    //    bounded-token-count gate; both are narrow filters, no shuffle
+    val ruled = graft.ops.TextOps.qualityRules(extracted)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .drop("n_words", "mean_word_len", "stop_hits", "sym_cnt",
+        "r_len", "r_wlen", "r_stop", "r_sym", "keep")
+    val quality = Pipeline.qualityGate(ruled)
 
     // 2. exact dedup: keep the lowest doc_id per identical text (keyed window)
     val exact = Pipeline.exactDedup(quality)
@@ -65,7 +71,8 @@ object TrainingPipelineExample {
     Scale.partitionedWrite(assigned, outDir, Seq("split", "lang"))
 
     val counts = Seq(
-      "raw" -> raw.count(), "quality" -> quality.count(),
+      "raw" -> raw.count(), "rule_gate" -> ruled.count(),
+      "quality" -> quality.count(),
       "exact_dedup" -> exact.count(), "neardup_removed" -> neardup.count(),
       "sampled" -> sampled.count(),
       "written" -> spark.read.parquet(outDir).count())

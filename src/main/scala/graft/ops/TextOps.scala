@@ -91,6 +91,35 @@ object TextOps {
       EntityPattern, " "),
       "\\s+", " "))
 
+  /** Gopher/C4-style rule-based quality gate over ANY frame with a text
+    * column: appends per-rule booleans (r_len / r_wlen / r_stop / r_sym),
+    * their audit metrics (n_words, mean_word_len, stop_hits, sym_cnt) and
+    * the composed `keep`. Exact-integer rule comparisons (cross-multiplied
+    * bounds) so the decisions are engine-exact; pure codegen'd projection,
+    * composable at any pipeline position like scrubPii/stripMarkup.
+    * Single definition behind q_quality_rules AND the pipeline example.
+    */
+  def qualityRules(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_words", size(split(t, " ")).cast("long"))
+      .withColumn("__n_chars_nw", length(regexp_replace(t, " ", "")).cast("long"))
+      .withColumn("stop_hits", (size(split(concat(lit(" "), t, lit(" ")),
+        " (the|a|of|and|to|in) ")) - 1).cast("long"))
+      .withColumn("sym_cnt",
+        (length(t) - length(regexp_replace(t, "[#@%]", ""))).cast("long"))
+      .withColumn("mean_word_len", col("__n_chars_nw").cast("double") / col("n_words"))
+      .withColumn("r_len", col("n_words").between(10, 5000))
+      .withColumn("r_wlen", col("__n_chars_nw") >= col("n_words") * 2 &&
+        col("__n_chars_nw") <= col("n_words") * 12)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_sym", col("sym_cnt") * 10 <= col("n_words"))
+      .withColumn("keep",
+        col("r_len") && col("r_wlen") && col("r_stop") && col("r_sym"))
+      .drop("__n_chars_nw")
+  }
+
   /** Set-Jaccard pairs (J > minSim10/10, a_id < b_id) over a pre-tokenized
     * (doc_id, token) frame via inverted-index equi-join on token — the
     * token can be a word, an n-gram shingle, or any fingerprint unit.
@@ -650,28 +679,14 @@ object TextOps {
       // engines; the one double metric is a single final IEEE division.
       // Narrow projection, no shuffle below the declared sort: at 100 TB
       // this is a scan-speed map stage, composable in front of any
-      // pipeline the same way scrubPii/stripMarkup are.
+      // pipeline the same way scrubPii/stripMarkup are — the reusable
+      // [[qualityRules]] is the single definition this query and the
+      // TrainingPipelineExample stage both run.
       "q_quality_rules",
       (s, d) => {
-        val wc = size(split(col("text"), " ")).cast("long")
-        val charsNw = length(regexp_replace(col("text"), " ", "")).cast("long")
-        val stopHits = (size(split(concat(lit(" "), col("text"), lit(" ")),
-          " (the|a|of|and|to|in) ")) - 1).cast("long")
-        val symCnt = (length(col("text")) -
-          length(regexp_replace(col("text"), "[#@%]", ""))).cast("long")
-        tbl(s, d, "documents")
-          .select(col("doc_id"), wc.as("n_words"), charsNw.as("n_chars_nw"),
-            stopHits.as("stop_hits"), symCnt.as("sym_cnt"))
-          .select(col("doc_id"), col("n_words"),
-            (col("n_chars_nw").cast("double") / col("n_words")).as("mean_word_len"),
-            col("stop_hits"), col("sym_cnt"),
-            col("n_words").between(10, 5000).as("r_len"),
-            (col("n_chars_nw") >= col("n_words") * 2 &&
-              col("n_chars_nw") <= col("n_words") * 12).as("r_wlen"),
-            (col("stop_hits") >= 2).as("r_stop"),
-            (col("sym_cnt") * 10 <= col("n_words")).as("r_sym"))
-          .withColumn("keep",
-            col("r_len") && col("r_wlen") && col("r_stop") && col("r_sym"))
+        qualityRules(tbl(s, d, "documents"))
+          .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+            "sym_cnt", "r_len", "r_wlen", "r_stop", "r_sym", "keep")
           .orderBy(asc_nulls_first("doc_id"))
       },
       Some("""WITH m AS (

@@ -156,6 +156,28 @@ class PlanAuditSpec extends SparkSpec
       s"markup stripping must not shuffle on a hash key:\n$plan")
   }
 
+  test("q_event_funnel joins every stage frame as a broadcast/hash join, never a sort-merge re-shuffle") {
+    // the three stage frames are user-keyed aggregates that only shrink —
+    // at test scale they broadcast; a SortMergeJoin here would mean the
+    // corpus re-sorts per stage instead of reusing the user_id hash
+    // partitioning
+    val plan = query("q_event_funnel").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"funnel stage joins should broadcast at this scale:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"funnel must not sort-merge its shrinking stage frames:\n$plan")
+  }
+
+  test("q_unpivot reshapes via Expand — one pass, no join") {
+    val plan = query("q_unpivot").queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"unpivot must plan as Expand, not a union of re-scans:\n$plan")
+    assert(!plan.contains("Join"), s"unpivot must not join:\n$plan")
+    // the feeding aggregate still combines map-side: exactly one scan
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"unpivot must read the fact table once:\n$plan")
+  }
+
   test("q_quality_rules is shuffle-free below the declared sort") {
     // the rule gate is a pure per-doc projection (exact-integer rule math):
     // the ONLY exchange allowed is the final ORDER BY's range partitioning
