@@ -356,6 +356,33 @@ class BusSpec extends SparkSpec {
     bus.flushAndClose(10000)
   }
 
+  test("concurrent AddOptions calls never lose a transform (mutator lock)") {
+    // regression for the r10 advice: addSendTransforms was a non-atomic
+    // read-modify-write on a volatile — two racing callers could drop a
+    // transform. 4 threads × 25 appends each; the next epoch must apply
+    // ALL 100 (each transform appends one '.' to the payload, so the
+    // routed output's length is the proof — order doesn't matter, count
+    // does).
+    val (src, sink, _, bus) = newBus()
+    bus.start()
+    val dot = new MsgTransform {
+      def onReceive(df: org.apache.spark.sql.DataFrame) = df
+      def onSend(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("data",
+          encode(concat(col("data").cast("string"), lit(".")), "UTF-8"))
+    }
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => (0 until 25).foreach(_ => bus.addSendTransforms(dot)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    src.put(Msg.utf8("c1", "abc"))
+    bus.awaitIdle()
+    val out = sink.sent("all-lower").map(_.dataUtf8)
+    assert(out.size == 1 && out.head == "abc" + "." * 100,
+      s"all 100 concurrently-added transforms must apply: got ${out.map(_.length)}")
+    bus.flushAndClose(10000)
+  }
+
   test("A→B→A fail-sink rewire cycle closes each sink exactly once") {
     // regression: re-installing a previously retired sink left it both in
     // retiredSinks and current → double close at flushAndClose
