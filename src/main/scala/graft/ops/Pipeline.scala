@@ -105,6 +105,28 @@ object Pipeline {
       .filter(bucket < col("sample_ppm"))
   }
 
+  /** Deterministic WEIGHTED sampling: keep probability proportional to a
+    * per-row weight (quality score, char count, domain priority — the
+    * importance-sampling step of training-data mixing), via the same
+    * partition-independent multiplicative hash as [[splitAssign]] /
+    * [[stratifiedSample]]. keep iff hash-bucket(key) < min(1e6,
+    * weight · ppmPerUnit): integer-exact, replay-stable, and nested —
+    * raising ppmPerUnit only ADDS rows to the kept set (the hash bucket
+    * per doc is fixed), so samples at different rates are supersets of
+    * each other, which is what lets a pipeline re-mix without
+    * re-materializing. Weights ≥ 1e6/ppmPerUnit saturate at
+    * always-keep — documented, auditable via the kept `keep_ppm` column.
+    * Pure narrow filter: no shuffle, no per-stratum state, corpus never
+    * moves.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, ppmPerUnit: Long,
+      keyCol: String = "doc_id"): DataFrame = {
+    val bucket = (col(keyCol) % 1000003L) * lit(2654435761L) % 4294967296L % 1000000L
+    df.withColumn("keep_ppm",
+        least(lit(1000000L), greatest(lit(0L), col(weightCol) * ppmPerUnit)).cast("long"))
+      .filter(bucket < col("keep_ppm"))
+  }
+
   private def langStats(df: DataFrame): DataFrame =
     df.groupBy("lang")
       .agg(count(lit(1)).as("doc_cnt"),
@@ -309,6 +331,26 @@ object Pipeline {
              |  CAST(MAX(ppm) AS BIGINT) AS ppm,
              |  COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
              |FROM k GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Importance sampling for data mixing: keep probability ∝ n_chars
+      // (longer documents oversampled at 1500 ppm per char, saturating at
+      // always-keep above ~667 chars). The oracle replicates the exact
+      // integer hash arithmetic, so the SAME docs are kept — the
+      // reproducibility that makes a training mix auditable. See
+      // [[weightedSample]] for the nested-supersets property.
+      "q_weighted_sample",
+      (s, d) => {
+        weightedSample(tbl(s, d, "documents"), "n_chars", ppmPerUnit = 1500L)
+          .select(col("doc_id"), col("n_chars"), col("keep_ppm"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(LEAST(1000000, GREATEST(0, n_chars * 1500)) AS BIGINT) AS keep_ppm
+             |FROM documents
+             |WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 1000000
+             |  < LEAST(1000000, GREATEST(0, n_chars * 1500))
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

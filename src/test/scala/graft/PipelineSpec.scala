@@ -98,4 +98,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == expect,
       s"clamped 1-ppm rate must keep the hash-selected $expect docs")
   }
+
+  test("weightedSample: keep rate tracks weight, and rates nest as supersets") {
+    import spark.implicits._
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+    def kept(ppmPerUnit: Long): Set[Long] =
+      graft.ops.Pipeline.weightedSample(docs, "n_chars", ppmPerUnit)
+        .select("doc_id").as[Long].collect().toSet
+    val (lo, mid, hi) = (kept(200L), kept(800L), kept(3200L))
+    // nested: a doc kept at a low rate stays kept at every higher rate
+    // (the per-doc hash bucket is fixed; only the threshold moves)
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi),
+      s"samples must nest: ${lo.size} ⊆ ${mid.size} ⊆ ${hi.size}")
+    assert(lo.size < mid.size && mid.size < hi.size)
+    // rate tracks weight: among kept-at-200ppm docs, mean n_chars must
+    // exceed the corpus mean (longer docs are oversampled by design)
+    val all = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val corpusMean = all.values.sum.toDouble / all.size
+    val keptMean = lo.map(all).sum.toDouble / lo.size
+    assert(keptMean > corpusMean,
+      f"weighted keep must oversample long docs: kept mean $keptMean%.0f vs corpus $corpusMean%.0f")
+  }
 }
