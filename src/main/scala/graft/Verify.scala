@@ -42,7 +42,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A filtered run restricts the SQL dump to the filtered names too: a
+    // partial dump mixed with stale parquet from an earlier unfiltered run
+    // must not masquerade as a full one to a subsequent selfcheck.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

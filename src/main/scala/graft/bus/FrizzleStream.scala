@@ -408,10 +408,30 @@ final class FrizzleStream(
     drained
   }
 
-  /** A17 signal-driven shutdown: drain gracefully on JVM exit. */
-  def handleShutdown(timeoutMs: Long = defaultFlushTimeoutMs): FrizzleStream = {
-    sys.addShutdownHook(flushAndClose(timeoutMs))
+  /** A17 signal-driven shutdown: drain gracefully on JVM exit, THEN run the
+    * app's own teardown — the reference's flush-then-app ordering
+    * (`HandleShutdown(appShutdown func())`, /root/reference/options.go:
+    * 116-135: FlushAndClose completes before appShutdown is called), so an
+    * app with its own resources can sequence their teardown after the bus
+    * has drained into them. A JVM shutdown hook is the closest analog of
+    * the reference's SIGINT/SIGTERM channel: the JVM installs its default
+    * handlers for both signals, and each runs the registered hooks.
+    */
+  def handleShutdown(timeoutMs: Long = defaultFlushTimeoutMs,
+      appShutdown: () => Unit = () => ()): FrizzleStream = {
+    sys.addShutdownHook(shutdownSequence(timeoutMs, appShutdown))
     this
+  }
+
+  /** The hook body, factored out so BusSpec can pin the ordering contract
+    * without sending the test JVM a signal: flush completes (and returns
+    * its drained verdict into the event log) strictly before the app
+    * callback observes anything.
+    */
+  private[graft] def shutdownSequence(timeoutMs: Long,
+      appShutdown: () => Unit): Unit = {
+    flushAndClose(timeoutMs)
+    appShutdown()
   }
 
   def awaitIdle(): Unit = {

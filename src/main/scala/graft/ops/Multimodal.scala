@@ -61,10 +61,21 @@ object Multimodal {
       (s, d) => {
         // media → fixed-dim embedding → exact cosine top-3 for 5 probes:
         // the multimodal bridge into the similarity family.
+        // localCheckpoint: the features frame feeds BOTH join sides. The
+        // probe side sits under broadcast(), a mapPartitions codec pass has
+        // no exchange for ReuseExchange to share, and the probe filter
+        // cannot push below the codec — without the checkpoint the probe
+        // subtree re-decodes the FULL media corpus to surface 5 vectors
+        // (~half the query's warm time at sf0.1, linear waste in corpus
+        // size). Same bounded-materialization pattern as packedQuantizedTopK
+        // (Similarity.scala) and the Jaccard index frame (TextOps.scala);
+        // the checkpointed set is (id, 64-float vec, norm) — tiny vs the
+        // media bytes it came from.
         val feats = MediaOps.extractFeatures(MediaOps.mediaFromDocuments(s, d),
             parallelism = s.sessionState.conf.numShufflePartitions)
           .toDF()
           .select(col("media_id"), col("features"), norm(col("features")).as("nrm"))
+          .localCheckpoint(eager = false)
         val probes = feats.filter(col("media_id") < 5)
           .select(col("media_id").as("probe_id"), col("features").as("pf"),
             col("nrm").as("pn"))

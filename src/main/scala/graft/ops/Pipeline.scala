@@ -122,8 +122,14 @@ object Pipeline {
   def weightedSample(df: DataFrame, weightCol: String, ppmPerUnit: Long,
       keyCol: String = "doc_id"): DataFrame = {
     val bucket = (col(keyCol) % 1000003L) * lit(2654435761L) % 4294967296L % 1000000L
+    // weight · ppm computes in DOUBLE before the clamp: integer multiply
+    // under ANSI mode would THROW on a large weight × large ppmPerUnit
+    // instead of saturating at always-keep as documented. The double
+    // product is exact for every value below the 1e6 clamp (≪ 2^53) and
+    // overflows to +Inf far above it — either way least() saturates.
     df.withColumn("keep_ppm",
-        least(lit(1000000L), greatest(lit(0L), col(weightCol) * ppmPerUnit)).cast("long"))
+        least(lit(1000000.0), greatest(lit(0.0),
+          col(weightCol).cast("double") * lit(ppmPerUnit.toDouble))).cast("long"))
       .filter(bucket < col("keep_ppm"))
   }
 
@@ -346,10 +352,10 @@ object Pipeline {
           .orderBy(asc_nulls_first("doc_id"))
       },
       Some("""SELECT doc_id, n_chars,
-             |  CAST(LEAST(1000000, GREATEST(0, n_chars * 1500)) AS BIGINT) AS keep_ppm
+             |  CAST(LEAST(1000000.0, GREATEST(0.0, n_chars * 1500.0)) AS BIGINT) AS keep_ppm
              |FROM documents
              |WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 1000000
-             |  < LEAST(1000000, GREATEST(0, n_chars * 1500))
+             |  < CAST(LEAST(1000000.0, GREATEST(0.0, n_chars * 1500.0)) AS BIGINT)
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-window family over `events` (SURVEY.md §2-B rows 36–40): tumbling /
   * sliding / session windows (batch-equivalent of the streaming ops — the
@@ -155,22 +156,82 @@ object TimeWindows {
     Q(
       // Statistical moments per event_type: stddev/variance/skewness/
       // kurtosis plus a cross-column correlation. All single-pass
-      // partial-aggregatable sketches (sum of powers) — the 100 TB shape.
-      // Float accumulation order is engine-specific → ScalaTest oracle
-      // against driver-side reference math (graft.TimeWindowSpec).
+      // partial-aggregatable power sums — the 100 TB shape. Hash-oracled
+      // since r12 via the q_exact_moments recipe generalized to 4th order:
+      // values are quantized to exact integers (floor(value·10⁴) — floor,
+      // not round: both engines floor identical doubles identically),
+      // Σx..Σx⁴ and the u/xu cross sums accumulate in DECIMAL(38,0)
+      // (order-independent; Σx⁴ ≲ 6·10²⁶/row leaves 11+ digits of
+      // headroom at 10⁹ rows), then sd/var/skew/kurt/corr derive through
+      // ONE fixed sequence of IEEE double ops mirrored token-for-token in
+      // the oracle SQL. skew/kurt/corr are scale-invariant in x, so only
+      // sd (÷10⁴) and var (÷10⁸) need de-scaling. Definitions: sample
+      // var/sd, population skew g1 = √n·m3/m2^1.5, excess kurtosis
+      // n·m4/m2² − 3, Pearson corr — pinned by TimeWindowSpec reference
+      // math as well.
       "q_stats_moments",
       (s, d) => {
-        tbl(s, d, "events")
+        val big = DecimalType(38, 0)
+        val x = floor(col("value") * lit(10000.0)).cast(big)
+        val u = col("user_id").cast(big)
+        val agg = tbl(s, d, "events")
+          .select(col("event_type"), x.as("x"), u.as("u"))
           .groupBy("event_type")
           .agg(
-            stddev_samp(col("value")).as("sd"),
-            var_samp(col("value")).as("vr"),
-            skewness(col("value")).as("skew"),
-            kurtosis(col("value")).as("kurt"),
-            corr(col("value"), col("user_id").cast("double")).as("corr_uv"))
+            count(lit(1)).as("n"),
+            sum(col("x")).as("s1i"),
+            sum(col("x") * col("x")).as("s2i"),
+            sum(col("x") * col("x") * col("x")).as("s3i"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4i"),
+            sum(col("u")).as("sui"),
+            sum(col("u") * col("u")).as("suui"),
+            sum(col("x") * col("u")).as("sxui"))
+        val nD = col("n").cast("double")
+        val s1 = col("s1i").cast("double"); val s2 = col("s2i").cast("double")
+        val s3 = col("s3i").cast("double"); val s4 = col("s4i").cast("double")
+        val su = col("sui").cast("double"); val suu = col("suui").cast("double")
+        val sxu = col("sxui").cast("double")
+        // central power sums from raw power sums (left-assoc chains —
+        // the oracle SQL parses to the identical tree)
+        val m2 = s2 - s1 * s1 / nD
+        val m3 = s3 - lit(3.0) * s1 * s2 / nD + lit(2.0) * s1 * s1 * s1 / (nD * nD)
+        val m4 = s4 - lit(4.0) * s1 * s3 / nD + lit(6.0) * s1 * s1 * s2 / (nD * nD) -
+          lit(3.0) * s1 * s1 * s1 * s1 / (nD * nD * nD)
+        val m2u = suu - su * su / nD
+        agg.select(col("event_type"),
+            (sqrt(m2 / (nD - lit(1.0))) / lit(10000.0)).as("sd"),
+            (m2 / (nD - lit(1.0)) / lit(1.0e8)).as("vr"),
+            (sqrt(nD) * m3 / (m2 * sqrt(m2))).as("skew"),
+            (nD * m4 / (m2 * m2) - lit(3.0)).as("kurt"),
+            ((sxu - s1 * su / nD) / (sqrt(m2) * sqrt(m2u))).as("corr_uv"))
           .orderBy(asc_nulls_first("event_type"))
       },
-      None
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 10000) AS HUGEINT) AS x,
+             |    CAST(user_id AS HUGEINT) AS u
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS s1,
+             |    CAST(SUM(x * x) AS DOUBLE) AS s2,
+             |    CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+             |    CAST(SUM(x * x * x * x) AS DOUBLE) AS s4,
+             |    CAST(SUM(u) AS DOUBLE) AS su,
+             |    CAST(SUM(u * u) AS DOUBLE) AS suu,
+             |    CAST(SUM(x * u) AS DOUBLE) AS sxu
+             |  FROM q GROUP BY event_type)
+             |SELECT event_type,
+             |  SQRT((s2 - s1 * s1 / n) / (n - 1.0)) / 10000.0 AS sd,
+             |  (s2 - s1 * s1 / n) / (n - 1.0) / 1e8 AS vr,
+             |  SQRT(n) * (s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n))
+             |    / ((s2 - s1 * s1 / n) * SQRT(s2 - s1 * s1 / n)) AS skew,
+             |  n * (s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n)
+             |       - 3.0 * s1 * s1 * s1 * s1 / (n * n * n))
+             |    / ((s2 - s1 * s1 / n) * (s2 - s1 * s1 / n)) - 3.0 AS kurt,
+             |  (sxu - s1 * su / n) / (SQRT(s2 - s1 * s1 / n)
+             |    * SQRT(suu - su * su / n)) AS corr_uv
+             |FROM p ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Exact-arithmetic moments: n, Σx, Σx² accumulate in DECIMAL (order-

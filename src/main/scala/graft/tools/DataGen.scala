@@ -167,10 +167,14 @@ object DataGen {
 
     // documents: 10-100 vocab words; ~1.5% of rows are planted exact
     // duplicates of another doc's text (same shape the dedup family
-    // expects to find); n_chars = length(text) by construction
-    val baseLen = (hmod("dlen", 91, col("id")) + 10)
-    val dupOf = when(hmod("ddup", 64, col("id")) === 0,
-      hmod("dsrcid", math.max(1L, nDocs / 2), col("id"))).otherwise(col("id"))
+    // expects to find); n_chars = length(text) by construction.
+    // A row only becomes a dup pointer when its hash-picked source is NOT
+    // itself a pointer: a pointer-to-pointer would derive its text from
+    // the source id directly while the source's text derives from ITS
+    // source — a planted "duplicate" matching nothing. Rate: (1/64)·(63/64).
+    val dSrc = hmod("dsrcid", math.max(1L, nDocs / 2), col("id"))
+    val dupOf = when(hmod("ddup", 64, col("id")) === 0 &&
+      hmod("ddup", 64, dSrc) =!= 0, dSrc).otherwise(col("id"))
     save(rng(nDocs, parts).select(
       col("id").as("doc_id"),
       words("dtxt", (pmod(xxhash64(lit("dlen2"), dupOf), lit(91)) + 10), dupOf).as("text"),
@@ -180,9 +184,12 @@ object DataGen {
 
     // embeddings: 64-dim float in [-1, 1); ~2% planted near-duplicates
     // (another vector plus a small per-dim perturbation) so the ANN/near-dup
-    // family has real positives at every scale
-    val vecOf = when(hmod("vdup", 50, col("id")) === 0,
-      hmod("vsrcid", math.max(1L, nVecs / 2), col("id"))).otherwise(col("id"))
+    // family has real positives at every scale. Same pointer-chain guard as
+    // documents: only plant against a source that is itself NOT a pointer,
+    // so the pair's base vectors genuinely coincide.
+    val vSrc = hmod("vsrcid", math.max(1L, nVecs / 2), col("id"))
+    val vecOf = when(hmod("vdup", 50, col("id")) === 0 &&
+      hmod("vdup", 50, vSrc) =!= 0, vSrc).otherwise(col("id"))
     save(rng(nVecs, math.max(4, parts / 2)).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.bus._
@@ -453,6 +455,102 @@ class BusSpec extends SparkSpec {
     assert(got == want,
       s"streaming survivors must equal the batch answer: " +
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("seen-hash index self-compacts mid-stream: bounded dirs, exact answer, replay converges") {
+    // the r11 verdict's operational hole: one epoch=N/ dir per micro-batch
+    // grows unboundedly. With compactEvery=3 the index must (a) compact
+    // WHILE the stream runs, (b) keep the partition count bounded, (c)
+    // still produce exactly q_dedup_incremental's batch answer, and (d)
+    // stay replay-idempotent after a compaction has rewritten history.
+    import spark.implicits._
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val want = query("q_dedup_incremental")
+      .select("doc_id").as[Long].collect().toSet
+
+    val idx = new SeenHashIndex(spark,
+      Files.createTempDirectory("seenidx_c").toString, compactEvery = 3)
+    val partCounts = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val survivorsByEpoch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Set[String]]()
+    @volatile var lastEpoch = -1L
+    val src = new MemorySource(spark)
+    val sink = new MemorySink
+    val bus = new FrizzleStream(spark, src,
+      process = df => df,
+      sink,
+      checkpointDir = Some(Files.createTempDirectory("incdedup_c_ck").toString),
+      epochProcess = Some((df, epoch) => {
+        partCounts.add(idx.epochs().size) // dir count at epoch entry
+        lastEpoch = epoch
+        val out = idx.dedupEpoch(df, epoch)
+        survivorsByEpoch.put(epoch, out.select("id").as[String].collect().toSet)
+        out.withColumn("dest", lit("kept")).withColumn("failed", lit(false))
+      }))
+    bus.start()
+    def msgs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => Msg.utf8(f"$id%06d", t) }
+    // 5 doc_id-ordered epochs: the seed corpus then 4 arriving slices
+    src.put(msgs(docs.filter(_._1 < 100).toSeq): _*)
+    bus.awaitIdle()
+    val arriving = docs.filter(_._1 >= 100).toSeq
+    val slices = arriving.grouped(arriving.length / 4 + 1).toSeq
+    slices.foreach { g => src.put(msgs(g): _*); bus.awaitIdle() }
+    bus.flushAndClose(20000)
+
+    assert(lastEpoch >= 4, s"expected >=5 epochs, saw ${lastEpoch + 1}")
+    // (a)+(b): the threshold was reached and a compaction ran mid-stream —
+    // the count observed at some later epoch entry DROPPED below the peak
+    assert(partCounts.asScala.max >= 3, s"threshold never reached: $partCounts")
+    assert(idx.epochs().size <= 3,
+      s"directory count must stay bounded: ${idx.epochs()}")
+    // (c): exact batch parity, unchanged by compaction
+    val got = sink.sent("kept").map(_.id.toLong).filter(_ >= 100L).toSet
+    assert(got == want,
+      s"streaming survivors must equal the batch answer: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // (d): replay the FINAL epoch against the compacted index — same
+    // survivors out, same index state after (overwrite converges)
+    val before = idx.seenBefore(lastEpoch + 1).distinct().count()
+    val replayDf = spark.createDataset(msgs(slices.last)).toDF()
+    val replayIds = idx.dedupEpoch(replayDf, lastEpoch)
+      .select("id").as[String].collect().toSet
+    assert(replayIds == survivorsByEpoch.get(lastEpoch),
+      "replay after compaction must keep the same survivor set")
+    assert(idx.seenBefore(lastEpoch + 1).distinct().count() == before,
+      "replay must converge to the same index state, not grow it")
+  }
+
+  test("A17: shutdown sequence flushes and closes the bus BEFORE the app callback") {
+    // reference ordering (options.go:116-135): FlushAndClose completes,
+    // THEN appShutdown runs — so the app can tear down resources the bus
+    // drains into. Pinned via the factored hook body (no real signal).
+    val order = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val inner = new MemorySink
+    val probeSink = new BusSink {
+      def write(batch: org.apache.spark.sql.Dataset[Msg], dest: String,
+          batchId: Long): Unit = inner.write(batch, dest, batchId)
+      override def close(): Unit = order.add("sink_closed")
+    }
+    val src = new MemorySource(spark)
+    val bus = new FrizzleStream(spark, src,
+      FrizzleStream.exprProcessor(dest = lit("out"), failed = lit(false)),
+      probeSink,
+      checkpointDir = Some(Files.createTempDirectory("a17ck").toString))
+    bus.start()
+    src.put(Msg.utf8("1", "alpha"), Msg.utf8("2", "beta"))
+    bus.awaitIdle()
+    @volatile var deliveredAtCallback = -1
+    bus.shutdownSequence(10000, () => {
+      order.add("app")
+      deliveredAtCallback = inner.sent("out").size
+    })
+    assert(order.asScala.toSeq == Seq("sink_closed", "app"),
+      s"flush (incl. sink close) must complete before the app callback: $order")
+    assert(deliveredAtCallback == 2,
+      "the callback must observe a fully-drained sink")
   }
 
   test("start() refuses a second start on the same bus") {

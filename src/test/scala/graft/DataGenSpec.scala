@@ -67,4 +67,27 @@ class DataGenSpec extends SparkSpec {
     val viaTbl = graft.ops.tbl(spark, genA, "events").schema
     assert(viaTbl("ts").dataType.typeName == "timestamp")
   }
+
+  test("every planted document duplicate matches its source text exactly") {
+    // Recompute the generator's pointer rule and check the planted pair:
+    // before the r12 pointer-chain guard, a source that was itself a dup
+    // pointer derived its text elsewhere, so ~1/64 of planted "duplicates"
+    // matched nothing. Now: pointer ⇒ text-identical source, no exception.
+    // sf0.04 (200 docs) is the smallest fixture where the hash plants a
+    // pointer (sf0.001's 5 docs plant none — verified by direct probe).
+    val dirD = Files.createTempDirectory("datagen-dup").toString
+    tools.DataGen.generate(spark, 0.04, dirD)
+    val docs = spark.read.parquet(s"$dirD/documents.parquet")
+    val n = docs.count()
+    val dSrc = pmod(xxhash64(lit("dsrcid"), col("doc_id")), lit(math.max(1L, n / 2)))
+    val ptr = docs.filter(
+        pmod(xxhash64(lit("ddup"), col("doc_id")), lit(64)) === 0 &&
+        pmod(xxhash64(lit("ddup"), dSrc), lit(64)) =!= 0)
+      .select(col("doc_id").as("p_id"), dSrc.as("src_id"), col("text").as("p_text"))
+    val joined = ptr.join(docs.select(col("doc_id").as("src_id"), col("text")), "src_id")
+    val total = joined.count()
+    assert(total > 0, "fixture must plant at least one duplicate pair")
+    assert(joined.filter(col("p_text") =!= col("text")).count() == 0,
+      "every planted pointer's text must equal its source's text")
+  }
 }

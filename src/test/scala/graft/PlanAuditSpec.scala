@@ -156,16 +156,33 @@ class PlanAuditSpec extends SparkSpec
       s"markup stripping must not shuffle on a hash key:\n$plan")
   }
 
-  test("q_event_funnel joins every stage frame as a broadcast/hash join, never a sort-merge re-shuffle") {
-    // the three stage frames are user-keyed aggregates that only shrink —
-    // at test scale they broadcast; a SortMergeJoin here would mean the
-    // corpus re-sorts per stage instead of reusing the user_id hash
-    // partitioning
-    val plan = query("q_event_funnel").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"funnel stage joins should broadcast at this scale:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"funnel must not sort-merge its shrinking stage frames:\n$plan")
+  test("q_event_funnel: stage frames broadcast (pinned threshold) and every user_id shuffle is map-side combined") {
+    // the three stage frames are user-keyed aggregates that only shrink.
+    // Whether they broadcast is threshold-dependent, so pin the threshold
+    // to its default INSIDE the test — an inherited config or fixture-size
+    // drift can no longer flip the suite red without a plan regression
+    // (stage frames are ~KBs at sf0.001 vs the pinned 10 MB bound).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    try {
+      val plan = query("q_event_funnel").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"funnel stage joins should broadcast under the pinned threshold:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"funnel must not sort-merge its shrinking stage frames:\n$plan")
+      // the deeper invariant (holds regardless of join strategy): nothing
+      // shuffles on user_id except aggregate frames that were ALREADY
+      // combined map-side — i.e. every user_id hash exchange's child is a
+      // partial HashAggregate, never the raw event scan
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning(user_id"))
+        .foreach { case (_, i) =>
+          // "partial_<fn>" for real aggregates; a keys-only dedup prints
+          // "functions=[]" but is equally a map-side combine
+          assert(i + 1 < lines.size && (lines(i + 1).contains("partial_") ||
+              lines(i + 1).contains("HashAggregate(keys=[user_id")),
+            s"a user_id shuffle ships un-combined rows (line ${i + 1}):\n$plan")
+        }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("q_unpivot reshapes via Expand — one pass, no join") {
@@ -216,6 +233,21 @@ class PlanAuditSpec extends SparkSpec
       s"expected the broadcast probe join (non-equi ≠ condition):\n$plan")
     assert(plan.contains("zip_with") && plan.contains("aggregate("),
       s"distance must be the one-pass array fold:\n$plan")
+  }
+
+  test("q_media_features_topk decodes the media corpus exactly once") {
+    // the features frame feeds BOTH sides of the probe join; it is
+    // localCheckpointed, so the declared plan must read the materialized
+    // RDD on both sides (one decode lineage) and contain NO codec
+    // mapPartitions subtree and NO second corpus scan — the r11 regression
+    // was the probe side re-running the full decode to surface 5 vectors
+    val plan = query("q_media_features_topk").queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"),
+      s"decode must be hoisted into the checkpointed features frame:\n$plan")
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"probe side must not re-scan the media corpus:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2,
+      s"both join sides must read the one materialized features RDD:\n$plan")
   }
 
   test("q_dedup_incremental pushes a partial top-1 below the window shuffle") {

@@ -155,6 +155,48 @@ class ScaleSpec extends SparkSpec {
     assert(rounds <= bound, s"$rounds rounds for diameter ${chainN - 1}")
   }
 
+  test("autoNBits keeps LSH bucket occupancy flat from the oracle scale to the sf1 corpus count") {
+    import graft.ops.Similarity.autoNBits
+    // the formula at the three measured corpus points: oracle scale
+    // (500 → the fixture-validated 4 bits), sf0.1 (5 000), sf1 (50 000)
+    assert(autoNBits(500) == 4, s"500 vecs -> ${autoNBits(500)}")
+    assert(autoNBits(5000) == 8, s"5000 vecs -> ${autoNBits(5000)}")
+    assert(autoNBits(50000) == 11, s"50000 vecs -> ${autoNBits(50000)}")
+    // clamps: tiny corpora never under-shard below the recall-validated
+    // minimum; the ceiling bounds plane count for absurd inputs
+    assert(autoNBits(10) == 4 && autoNBits(Long.MaxValue) == 24)
+
+    // MEASURED occupancy, not just the formula: expected n/2^bits stays
+    // ~targetBucket(32) and no real bucket explodes. Two corpora: the
+    // sf0.1 driver fixture, and a synthetic corpus at the sf1.0 COUNT
+    // built with DataGen's exact per-dim hash recipe (full sf1 generation
+    // is minutes of lineitem writes; the embedding distribution is what
+    // occupancy depends on).
+    def occupancy(emb: org.apache.spark.sql.DataFrame, n: Long): (Double, Long) = {
+      val bits = autoNBits(n)
+      val sizes = emb.select(posexplode(
+          graft.expr.LshSignatures(col("embedding"), bits, 16)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(avg("count"), max("count")).head()
+      (sizes.getDouble(0), sizes.getLong(1))
+    }
+    val sf01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n01 = sf01.count()
+    val (mean01, max01) = occupancy(sf01, n01)
+    val expect01 = n01.toDouble / (1 << autoNBits(n01))
+    assert(mean01 <= 2 * 32, s"sf0.1 mean occupancy $mean01 (expected ~$expect01)")
+    assert(max01 <= 16 * math.max(32.0, expect01),
+      s"sf0.1 max bucket $max01 vs expected mean $expect01")
+    val sf1 = spark.range(50000).select(transform(sequence(lit(0), lit(63)),
+      i => ((pmod(xxhash64(lit("vdim"), col("id"), i), lit(2001)) - 1000) / lit(1000.0))
+        .cast("float")).as("embedding"))
+    val (mean1, max1) = occupancy(sf1, 50000)
+    val expect1 = 50000.0 / (1 << autoNBits(50000))
+    assert(mean1 <= 2 * 32, s"sf1-count mean occupancy $mean1 (expected ~$expect1)")
+    assert(max1 <= 16 * math.max(32.0, expect1),
+      s"sf1-count max bucket $max1 vs expected mean $expect1")
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     Scale.partitionedWrite(

@@ -157,6 +157,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"corpus-wide near-dup recall $recall (${got.size}/${truth.size})")
   }
 
+  test("q_decontaminate_fuzzy: cross-frame recall ≥ 0.9, precision 1.0 vs brute force") {
+    // sf0.01 (not the suite's sf0.001): the bench/corpus split is
+    // vec_id < 100, which needs the 500-vector fixture to leave a corpus.
+    // Truth = every (corpus, bench) pair above the floor by exact cosine;
+    // the LSH path must return a subset (exact re-score ⇒ precision 1.0)
+    // with measured recall ≥ 0.9 — the planted near-dups whose source
+    // landed in the bench range are the "paraphrased eval items".
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.ops.tbl(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val floor = 0.4
+    val truth = (for {
+      (c, vc) <- emb.toSeq; if c >= 100
+      (b, vb) <- emb.toSeq; if b < 100
+      if cosScala(vc, vb) > floor
+    } yield (c, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain cross-frame near-dups")
+    val got = SparkEntry.queries("q_decontaminate_fuzzy")(spark, d)
+      .select(col("vec_id"), col("bench_id")).as[(Long, Long)].collect().toSet
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"cross-frame recall $recall (${(truth & got).size}/${truth.size})")
+  }
+
   test("q_embed_clusters groups exactly the transitive closure of the found pairs") {
     val pairs = query("q_embed_neardup_all")
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()

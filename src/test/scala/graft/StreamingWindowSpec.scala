@@ -107,6 +107,49 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows over the replayed fixture equal the µs-exact batch oracle frame-for-frame") {
+    // q_session_window is hash-oracled against DuckDB at exact-µs
+    // boundaries (r11); this replays the SAME fixture through the
+    // watermarked streaming path and requires frame-for-frame equality —
+    // upgrading streaming parity from rows-only to exact. Append mode only
+    // emits FINALIZED sessions, so the fixture streams in ts order (no
+    // late drops) followed by one far-future sentinel that pushes the
+    // watermark past every real session's end; the sentinel's own session
+    // never finalizes and is excluded by key.
+    import org.apache.spark.sql.functions.{asc_nulls_first, col, unix_timestamp}
+    val fixture = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"))
+      .orderBy(asc_nulls_first("ts"))
+      .as[(Timestamp, Long)].collect()
+    val sentinel = (new Timestamp(fixture.map(_._1.getTime).max + 48L * 3600 * 1000), -1L)
+
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamingWindows.session(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id", "30 minutes", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("replay_session")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      fixture.grouped(fixture.length / 4 + 1)
+        .foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val streaming = spark.table("replay_session")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_s"),
+          unix_timestamp(col("session_end")).as("session_end_s"),
+          col("cnt"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val batch = query("q_session_window")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streaming.length == batch.length,
+        s"row counts differ: streaming=${streaming.length} batch=${batch.length}")
+      assert(streaming == batch,
+        "streaming session windows must equal the batch oracle frame-for-frame")
+    } finally q.stop()
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

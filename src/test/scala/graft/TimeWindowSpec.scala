@@ -89,34 +89,47 @@ class TimeWindowSpec extends SparkSpec {
   }
 
   test("q_stats_moments matches driver-side reference math within 1e-9") {
+    // r12 semantics: moments of the floor(value·10⁴)-quantized integers,
+    // exact power sums + one fixed IEEE tail (the hash-oracle recipe).
+    // The reference accumulates the power sums in BigInt (exact), converts
+    // once to double (correctly-rounded, same as the engine's decimal→
+    // double cast), and applies the identical tail — so the comparison is
+    // effectively bit-level; tolerances only absorb expression-tree
+    // re-association if the query's tail is ever refactored.
     val got = query("q_stats_moments")
       .as[(String, Double, Double, Double, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     val data = graft.ops.tbl(spark, sfDir, "events")
-      .select(col("event_type"), col("value"), col("user_id").cast("double"))
-      .as[(String, Double, Double)].collect()
+      .select(col("event_type"), col("value"), col("user_id"))
+      .as[(String, Double, Long)].collect()
       .groupBy(_._1)
     data.foreach { case (et, rows) =>
-      val vs = rows.map(_._2)
-      val us = rows.map(_._3)
-      val n = vs.length.toDouble
-      val mean = vs.sum / n
-      val m2 = vs.map(v => math.pow(v - mean, 2)).sum
-      val m3 = vs.map(v => math.pow(v - mean, 3)).sum
-      val m4 = vs.map(v => math.pow(v - mean, 4)).sum
-      val varS = m2 / (n - 1)
-      val sd = math.sqrt(varS)
-      val skew = math.sqrt(n) * m3 / math.pow(m2, 1.5)
+      val xs = rows.map(r => BigInt(math.floor(r._2 * 10000.0).toLong))
+      val us = rows.map(r => BigInt(r._3))
+      val n = xs.length.toDouble
+      val s1 = xs.sum.toDouble
+      val s2 = xs.map(x => x * x).sum.toDouble
+      val s3 = xs.map(x => x * x * x).sum.toDouble
+      val s4 = xs.map(x => x * x * x * x).sum.toDouble
+      val su = us.sum.toDouble
+      val suu = us.map(u => u * u).sum.toDouble
+      val sxu = xs.zip(us).map { case (x, u) => x * u }.sum.toDouble
+      val m2 = s2 - s1 * s1 / n
+      val m3 = s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n)
+      val m4 = s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n) -
+        3.0 * s1 * s1 * s1 * s1 / (n * n * n)
+      val varS = m2 / (n - 1.0) / 1.0e8
+      val sd = math.sqrt(m2 / (n - 1.0)) / 10000.0
+      val skew = math.sqrt(n) * m3 / (m2 * math.sqrt(m2))
       val kurt = n * m4 / (m2 * m2) - 3.0
-      val mu = us.sum / n
-      val cov = vs.zip(us).map { case (v, u) => (v - mean) * (u - mu) }.sum / (n - 1)
-      val corrRef = cov / (sd * math.sqrt(us.map(u => math.pow(u - mu, 2)).sum / (n - 1)))
+      val corrRef = (sxu - s1 * su / n) /
+        (math.sqrt(m2) * math.sqrt(suu - su * su / n))
       val (gsd, gvr, gskew, gkurt, gcorr) = got(et)
-      assert(math.abs(gsd - sd) < 1e-9, s"$et sd")
-      assert(math.abs(gvr - varS) < 1e-9, s"$et var")
-      assert(math.abs(gskew - skew) < 1e-6, s"$et skew")
-      assert(math.abs(gkurt - kurt) < 1e-6, s"$et kurt")
-      assert(math.abs(gcorr - corrRef) < 1e-9, s"$et corr")
+      assert(math.abs(gsd - sd) < 1e-9, s"$et sd: $gsd vs $sd")
+      assert(math.abs(gvr - varS) < 1e-9, s"$et var: $gvr vs $varS")
+      assert(math.abs(gskew - skew) < 1e-9, s"$et skew: $gskew vs $skew")
+      assert(math.abs(gkurt - kurt) < 1e-9, s"$et kurt: $gkurt vs $kurt")
+      assert(math.abs(gcorr - corrRef) < 1e-9, s"$et corr: $gcorr vs $corrRef")
     }
   }
 
