@@ -162,6 +162,9 @@ class PlanAuditSpec extends SparkSpec
     // to its default INSIDE the test — an inherited config or fixture-size
     // drift can no longer flip the suite red without a plan regression
     // (stage frames are ~KBs at sf0.001 vs the pinned 10 MB bound).
+    // Save-and-restore (not unset): unset would clobber a session-level
+    // threshold set by another suite — same pattern as ScaleSpec's skew test.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
     try {
       val plan = query("q_event_funnel").queryExecution.executedPlan.toString
@@ -182,7 +185,10 @@ class PlanAuditSpec extends SparkSpec
               lines(i + 1).contains("HashAggregate(keys=[user_id")),
             s"a user_id shuffle ships un-combined rows (line ${i + 1}):\n$plan")
         }
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q_unpivot reshapes via Expand — one pass, no join") {

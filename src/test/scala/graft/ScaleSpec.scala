@@ -197,6 +197,59 @@ class ScaleSpec extends SparkSpec {
       s"sf1-count max bucket $max1 vs expected mean $expect1")
   }
 
+  test("lshNearDupPairs(knownCount=...) plans without issuing a count job") {
+    // auto-sized entry points issue one count() action when the corpus
+    // size is unknown; a pipeline that already counted passes knownCount
+    // and must trigger ZERO jobs at plan-construction time. Listener
+    // delivery is FIFO, so a marker job flushed after construction proves
+    // any construction-time job would already have been counted.
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger(0)
+    val markers = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        group match {
+          case Some(m) if m.startsWith("lsh-flush-") => markers.add(m)
+          case _ => jobs.incrementAndGet()
+        }
+        ()
+      }
+    }
+    // run a group-tagged marker job and wait for ITS event: listener-bus
+    // delivery is FIFO, so once the marker arrives every job posted before
+    // it has been counted — no straggler can leak into the next phase
+    def flush(tag: String): Unit = {
+      spark.sparkContext.setJobGroup(s"lsh-flush-$tag", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!markers.contains(s"lsh-flush-$tag") &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      assert(markers.contains(s"lsh-flush-$tag"), s"marker $tag not delivered")
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // sanity: WITHOUT knownCount the auto path really does run a job
+      // (otherwise this test couldn't detect a regression)
+      graft.ops.Similarity.lshNearDupPairs(emb)
+      flush("auto")
+      assert(jobs.get() >= 1, "auto-sizing without knownCount should count()")
+
+      // (lshCrossDupPairs shares the same knownCorpusCount plumbing but
+      // its count-VERIFIED bench broadcast guard legitimately runs jobs,
+      // so the job-free assertion targets the self-join path)
+      jobs.set(0)
+      graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(500L))
+      flush("known")
+      assert(jobs.get() == 0,
+        s"knownCount path ran ${jobs.get()} extra job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("partw").toString
     Scale.partitionedWrite(
