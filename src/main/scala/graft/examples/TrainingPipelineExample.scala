@@ -9,9 +9,9 @@ import graft.ops.{Pipeline, Scale}
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
   *   read → markup strip → rule gate (Gopher/C4) → quality gate → exact dedup →
-  *   MinHash-LSH near-dup removal → PII scrub → per-lang stratified cap →
-  *   deterministic sample → train/val/test split →
-  *   (split, lang)-partitioned parquet write
+  *   MinHash-LSH near-dup removal → semantic benchmark decontamination →
+  *   PII scrub → per-lang stratified cap → deterministic sample →
+  *   train/val/test split → (split, lang)-partitioned parquet write
   *
   * Every stage is a narrow filter, keyed window or bucketed join; the
   * output layout partition-prunes downstream reads. Run:
@@ -52,9 +52,22 @@ object TrainingPipelineExample {
     // 3. near-dup removal: drop the higher id of each MinHash-LSH pair
     val neardup = Pipeline.nearDupRemoval(exact)
 
+    // 3b. semantic decontamination: drop docs whose embedding nearly
+    //    matches a held-out benchmark item — paraphrases defeat the
+    //    n-gram tier; in embedding space they are near-dups (see
+    //    q_decontaminate_fuzzy). The fixture's embedding table stands in
+    //    for both frames: vec_id < 100 plays the benchmark suite,
+    //    vec_id ≥ 100 the corpus side (vec_id aligns 1:1 with doc_id).
+    val allEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpusEmb = allEmb.filter(
+      org.apache.spark.sql.functions.col("vec_id") >= 100)
+    val benchEmb = allEmb.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 100)
+    val deconned = Pipeline.fuzzyDecontaminate(neardup, corpusEmb, benchEmb)
+
     // 4. PII scrub: redact emails/digit runs, keep the audit hit count
     //    (stateless projection — free to compose anywhere in the flow)
-    val scrubbed = Pipeline.scrubStage(neardup)
+    val scrubbed = Pipeline.scrubStage(deconned)
 
     // 5. per-language cap: rate-based stratified sampling (no corpus
     //    shuffle — see q_stratified_sample), then a deterministic 50%
@@ -70,13 +83,18 @@ object TrainingPipelineExample {
     // 7. partitioned write: downstream per-split/per-lang reads prune dirs
     Scale.partitionedWrite(assigned, outDir, Seq("split", "lang"))
 
+    val nNeardup = neardup.count()
+    val nDecon = deconned.count()
     val counts = Seq(
       "raw" -> raw.count(), "rule_gate" -> ruled.count(),
       "quality" -> quality.count(),
-      "exact_dedup" -> exact.count(), "neardup_removed" -> neardup.count(),
+      "exact_dedup" -> exact.count(), "neardup_removed" -> nNeardup,
+      "decontaminated" -> nDecon,
       "sampled" -> sampled.count(),
       "written" -> spark.read.parquet(outDir).count())
     counts.foreach { case (stage, n) => println(f"$stage%-16s $n%6d docs") }
+    println(f"  decon audit: ${nNeardup - nDecon}%d docs flagged as semantic " +
+      f"matches of ${benchEmb.count()}%d benchmark items (removed pre-scrub)")
     assigned.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(f"  split ${r.getString(0)}%-6s ${r.getLong(1)}%6d docs"))
     println(s"corpus written to $outDir (partitioned by split, lang)")

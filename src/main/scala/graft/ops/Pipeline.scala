@@ -47,6 +47,30 @@ object Pipeline {
     df.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Semantic decontamination stage — the curation chain's LAST dedup
+    * gate: drop every document whose embedding nearly matches ANY held-out
+    * benchmark embedding. A paraphrased eval item defeats exact n-gram
+    * decontamination (Dedup.decontaminate); in embedding space the
+    * paraphrase is a near-dup. Pair generation is ONE definition shared
+    * with q_decontaminate_fuzzy ([[Similarity.lshCrossDupPairs]]): both
+    * frames bucketed with the same plan-time hyperplanes, the bench side
+    * broadcast when count-VERIFIED bounded, every candidate re-scored
+    * exactly — so the corpus never shuffles and precision is 1.0.
+    * Documents without an embedding row pass through unflagged (embedding
+    * coverage is the caller's contract).
+    *
+    * @param emb      corpus embeddings keyed `vec_id` = the corpus doc_id
+    * @param benchEmb held-out benchmark embeddings (eval suite)
+    */
+  def fuzzyDecontaminate(df: DataFrame, emb: DataFrame, benchEmb: DataFrame,
+      floor: Double = 0.4, nBits: Int = 0,
+      knownCorpusCount: Option[Long] = None): DataFrame = {
+    val flagged = Similarity.lshCrossDupPairs(emb, benchEmb, nBits = nBits,
+        floor = floor, knownCorpusCount = knownCorpusCount)
+      .select(col("vec_id").as("doc_id")).distinct()
+    df.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** PII scrub stage: record the audit hit-count, then redact — via the
     * reusable TextOps.scrubPii/piiHits, ONE definition shared with
     * q_pii_scrub. Pure projection: composes into the pipeline with no

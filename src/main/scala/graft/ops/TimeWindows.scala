@@ -136,22 +136,49 @@ object TimeWindows {
              |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
-      // Quantiles per event_type: approx (GK-sketch — the constant-state
-      // 100 TB path) alongside exact median. Interpolation arithmetic and
-      // sketches are engine-specific → ScalaTest oracle vs a sorted-array
-      // reference (graft.TimeWindowSpec).
+      // Quantiles per event_type, EXACT discrete ranks (percentile_disc
+      // semantics hand-rolled): the value at 1-based sorted index ⌈q·n⌉.
+      // No interpolation anywhere — the output is a value PICKED from the
+      // data, bit-identical on any engine, so this key is hash-oracled
+      // (r13; was no_oracle while it carried GK-sketch columns — the
+      // sketch surface lives on as [[percentileSummary]], ScalaTest-
+      // bounded, because sketch interpolation is engine-specific).
+      // Rank math is integer-only: ⌈n/2⌉ = (n+1) div 2,
+      // ⌈19n/20⌉ = (19n+19) div 20 — mirrored with // in the SQL.
+      // Scale: one shuffle+sort per event_type partition (Spark's window
+      // sort); exact quantiles inherently rank the data. At 100 TB the
+      // constant-state GK sketch ([[percentileSummary]]) is the default
+      // path and this exact variant is the audit tool.
       "q_percentiles",
       (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(asc_nulls_first("value"))
+        val cw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
         tbl(s, d, "events")
+          .select(col("event_type"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
           .groupBy("event_type")
           .agg(
-            percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-            percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
-            median(col("value")).as("med_exact"),
+            max(when(expr("rn = (n + 1) div 2"), col("value"))).as("med_exact"),
+            max(when(expr("rn = (19 * n + 19) div 20"), col("value"))).as("p95_exact"),
             count(lit(1)).as("cnt"))
           .orderBy(asc_nulls_first("event_type"))
       },
-      None
+      Some("""WITH s AS (
+             |  SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value ASC NULLS FIRST) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type,
+             |  MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med_exact,
+             |  MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95_exact,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM s
+             |GROUP BY event_type
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Statistical moments per event_type: stddev/variance/skewness/
@@ -426,4 +453,23 @@ object TimeWindows {
       None
     )
   )
+
+  /** GK-sketch quantiles (p50/p95, accuracy 1/10000) alongside the exact
+    * median, per event_type — THE 100 TB quantile path: constant sketch
+    * state per group, merged associatively, one map-side-combined shuffle.
+    * Sketch pick points are engine-specific (no cross-engine oracle
+    * exists), so this surface is ScalaTest-bounded (TimeWindowSpec pins
+    * ±2% rank error vs a sorted-array reference); the DECLARED
+    * q_percentiles key is the exact-rank variant, which hash-matches.
+    */
+  def percentileSummary(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"),
+        median(col("value")).as("med_exact"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("event_type"))
 }

@@ -46,6 +46,34 @@ class PipelineSpec extends SparkSpec {
       "near-dup removal drops doc 3, keeps lower-id original doc 1")
   }
 
+  test("fuzzyDecontaminate drops the planted paraphrase, keeps clean docs") {
+    // a benchmark item's PARAPHRASE shares no exact n-grams but sits next
+    // to it in embedding space: plant a corpus embedding at cosine ≈0.997
+    // to the bench vector and three orthogonal clean ones; the composed
+    // stage must drop exactly the paraphrase (LSH candidates + exact
+    // re-score → precision 1.0, so a bucket collision alone cannot evict
+    // a clean doc).
+    val dim = 8
+    def unit(i: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == i) 1.0f else 0.0f)
+    val bench = Seq((0L, unit(0))).toDF("vec_id", "embedding")
+    val emb = Seq(
+      (10L, (0 until dim).map(j => if (j == 0) 0.99f else 0.01f)), // paraphrase
+      (11L, unit(2)), (12L, unit(3)), (13L, unit(4))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (10L, "paraphrased benchmark item", "en"),
+      (11L, "clean one", "en"),
+      (12L, "clean two", "en"),
+      (13L, "clean three", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.Pipeline
+      .fuzzyDecontaminate(docs, emb, bench, nBits = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 12L, 13L),
+      s"planted paraphrase must drop, clean docs survive: $out")
+  }
+
   test("pipeline is deterministic across runs") {
     val a = query("q_pipeline_full").collect().toSeq
     val b = query("q_pipeline_full").collect().toSeq

@@ -150,6 +150,48 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel over the replayed fixture equals batch q_event_funnel frame-for-frame") {
+    // q_event_funnel is hash-oracled at exact-µs stage windows; replay the
+    // SAME fixture through the watermarked flatMapGroupsWithState funnel
+    // and require the per-stage user counts to match exactly — extending
+    // the streaming≡batch parity pattern (tumbling r3, session r12) to the
+    // analytics family. Users finalize when the watermark passes their
+    // conversion horizon; two far-future sentinels advance the watermark
+    // past every horizon and then trigger the timeout sweep (timeouts fire
+    // on the batch AFTER the watermark moves).
+    import org.apache.spark.sql.functions.{asc_nulls_first, col}
+    import graft.streaming.StreamingFunnel
+    val fixture = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+      .as[(Timestamp, Long, String)].collect()
+
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamingFunnel.userStages(
+      in.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type",
+      stages = Seq("signup", "click", "purchase"), lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("replay_funnel")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      fixture.grouped(fixture.length / 3 + 1)
+        .foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+      val maxMs = fixture.map(_._1.getTime).max
+      in.addData((new Timestamp(maxMs + 5L * 86400 * 1000), -1L, "view"))
+      q.processAllAvailable()
+      in.addData((new Timestamp(maxMs + 6L * 86400 * 1000), -1L, "view"))
+      q.processAllAvailable()
+      val streaming = spark.table("replay_funnel")
+        .groupBy("stage").count()
+        .as[(Long, Long)].collect().toMap
+      val batch = query("q_event_funnel")
+        .as[(Long, Long)].collect().toMap
+      assert(streaming == batch,
+        s"streaming funnel stage counts must equal batch: streaming=$streaming batch=$batch")
+    } finally q.stop()
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }

@@ -133,13 +133,16 @@ class TimeWindowSpec extends SparkSpec {
     }
   }
 
-  test("q_percentiles: approx within 2% of exact rank, median exact") {
-    val got = query("q_percentiles")
-      .as[(String, Double, Double, Double, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  test("percentileSummary approx within 2% of exact rank, median exact; q_percentiles picks exact discrete ranks") {
     val data = graft.ops.tbl(spark, sfDir, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the GK-sketch library surface (the 100 TB path, no cross-engine
+    // oracle): rank error bounded vs the sorted array
+    val got = graft.ops.TimeWindows
+      .percentileSummary(graft.ops.tbl(spark, sfDir, "events"))
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     data.foreach { case (et, vs) =>
       val (p50a, p95a, med) = got(et)
       // exact interpolated median reference
@@ -150,6 +153,18 @@ class TimeWindowSpec extends SparkSpec {
       def rankOf(x: Double): Double = vs.count(_ <= x).toDouble / n
       assert(math.abs(rankOf(p50a) - 0.5) <= 0.02, s"$et p50 rank ${rankOf(p50a)}")
       assert(math.abs(rankOf(p95a) - 0.95) <= 0.02, s"$et p95 rank ${rankOf(p95a)}")
+    }
+    // the DECLARED key (hash-oracled since r13): the value at 1-based
+    // sorted index ⌈q·n⌉, checked against the same sorted arrays
+    val decl = query("q_percentiles")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    data.foreach { case (et, vs) =>
+      val n = vs.length
+      val (med, p95, cnt) = decl(et)
+      assert(cnt == n.toLong, s"$et cnt")
+      assert(med == vs((n + 1) / 2 - 1), s"$et med_exact pick")
+      assert(p95 == vs((19 * n + 19) / 20 - 1), s"$et p95_exact pick")
     }
   }
 
