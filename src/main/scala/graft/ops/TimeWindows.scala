@@ -296,6 +296,71 @@ object TimeWindows {
              |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Anomaly census per event_type (r13): flag events further than 3
+      // sample standard deviations from the group mean, report the
+      // outlier count and the extreme |z| — the data-quality monitor a
+      // production feed runs continuously. Two-pass broadcast shape:
+      // pass 1 is a per-group map-side-combined aggregate whose output is
+      // ONE ROW PER GROUP and BROADCASTS back; pass 2 is a narrow
+      // projection + conditional aggregate on the same event_type
+      // partitioning — the corpus never shuffles on a new key.
+      // Hash-oracled via the q_stats_moments recipe: floor(value·10⁴)
+      // quantization, DECIMAL(38,0) power sums (order-independent), then
+      // mean/sd — and therefore every z and the 3σ comparison — derive
+      // through ONE fixed IEEE double sequence mirrored token-for-token
+      // in the SQL, so even boundary events classify identically.
+      // z is computed in the quantized domain (z is scale-invariant, so
+      // no de-scaling is needed anywhere).
+      "q_zscore_outliers",
+      (s, d) => {
+        val big = DecimalType(38, 0)
+        val e = tbl(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(10000.0)).cast(big).as("xq"))
+        val stats = e.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("xq")).as("sxi"),
+            sum(col("xq") * col("xq")).as("sxxi"))
+        val nD = col("n").cast("double")
+        val sx = col("sxi").cast("double")
+        val sxx = col("sxxi").cast("double")
+        val statsD = stats.select(col("event_type"),
+          (sx / nD).as("mean_q"),
+          sqrt((nD * sxx - sx * sx) / (nD * (nD - lit(1.0)))).as("sd_q"))
+        e.join(broadcast(statsD), "event_type")
+          .withColumn("az",
+            abs((col("xq").cast("double") - col("mean_q")) / col("sd_q")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("az") > lit(3.0), 1L).otherwise(0L))
+              .cast("long").as("n_outliers"),
+            max(col("az")).as("max_abs_z"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type, CAST(floor(value * 10000) AS HUGEINT) AS xq
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(xq) AS DOUBLE) AS sx,
+             |    CAST(SUM(xq * xq) AS DOUBLE) AS sxx
+             |  FROM q GROUP BY event_type),
+             |st AS (
+             |  SELECT event_type, sx / n AS mean_q,
+             |    SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS sd_q
+             |  FROM p),
+             |zq AS (
+             |  SELECT q.event_type,
+             |    ABS((CAST(xq AS DOUBLE) - mean_q) / sd_q) AS az
+             |  FROM q JOIN st ON q.event_type = st.event_type)
+             |SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  MAX(az) AS max_abs_z
+             |FROM zq GROUP BY event_type
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Ordered conversion funnel over the event stream (signup → click →
       // purchase, each stage strictly AFTER the previous stage's first
       // hit and within a 24 h conversion window of it): the classic

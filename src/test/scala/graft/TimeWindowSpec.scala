@@ -133,6 +133,30 @@ class TimeWindowSpec extends SparkSpec {
     }
   }
 
+  test("q_zscore_outliers matches driver-side reference classification") {
+    val got = query("q_zscore_outliers")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val data = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    data.foreach { case (et, vs) =>
+      // exact integer power sums (BigInt — double accumulation of x²
+      // would round above 2^53), then the engines' fixed IEEE derivation
+      val xq = vs.map(v => math.floor(v * 10000.0).toLong)
+      val n = xq.length.toDouble
+      val sx = xq.foldLeft(BigInt(0))(_ + _).toDouble
+      val sxx = xq.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * BigInt(x)).toDouble
+      val mean = sx / n
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+      val zs = xq.map(x => math.abs((x.toDouble - mean) / sd))
+      val (cnt, nOut, maxZ) = got(et)
+      assert(cnt == xq.length.toLong, s"$et cnt")
+      assert(nOut == zs.count(_ > 3.0).toLong, s"$et outliers")
+      assert(math.abs(maxZ - zs.max) < 1e-9, s"$et max |z|")
+    }
+  }
+
   test("percentileSummary approx within 2% of exact rank, median exact; q_percentiles picks exact discrete ranks") {
     val data = graft.ops.tbl(spark, sfDir, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
