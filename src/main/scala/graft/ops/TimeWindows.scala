@@ -361,6 +361,91 @@ object TimeWindows {
              |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Robust anomaly census per event_type (r13): modified z-score
+      // |0.6745·(x − median)/MAD| > 3.5 (Iglewicz-Hoaglin) — the outlier
+      // test that survives heavy tails, where mean/σ (q_zscore_outliers)
+      // gets dragged by the outliers it is hunting. ENTIRELY exact until
+      // the last step: x quantizes to an integer (floor·10⁴), the median
+      // and the MAD are EXACT DISCRETE picks (the q_percentiles rank
+      // machinery: value at 1-based sorted index ⌈n/2⌉), |x − med| is
+      // integer subtraction — so the one double expression (0.6745·Δ/MAD)
+      // is built from identical integers on both engines and classifies
+      // identically. Precondition: MAD > 0 (holds for any continuous
+      // value column; a >50%-constant column wants the rule gate, not a
+      // z-test). Scale shape: two rank windows per group + two one-row-
+      // per-group broadcasts back — same partitioning reused throughout,
+      // corpus never shuffles on a new key.
+      "q_robust_outliers",
+      (s, d) => {
+        val e = tbl(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * lit(10000.0)).as("xq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(asc_nulls_first("xq"))
+        val wa = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(asc_nulls_first("ad"))
+        val cw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val med = e.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col("xq").as("med_q"))
+        val withAd = e.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("xq") - col("med_q")))
+        val mad = withAd
+          .withColumn("rn", row_number().over(wa))
+          .withColumn("n", count(lit(1)).over(cw))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col("ad").as("mad_q"))
+        withAd.join(broadcast(mad), "event_type")
+          .withColumn("amz", abs(lit(0.6745) *
+            (col("xq") - col("med_q")).cast("double") /
+            col("mad_q").cast("double")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            max(col("med_q")).as("med_q"),
+            max(col("mad_q")).as("mad_q"),
+            sum(when(col("amz") > lit(3.5), 1L).otherwise(0L))
+              .cast("long").as("n_outliers"),
+            max(col("amz")).as("max_abs_mz"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS xq
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, xq,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY xq ASC NULLS FIRST) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM q),
+             |med AS (SELECT event_type, xq AS med_q FROM r
+             |        WHERE rn = (n + 1) // 2),
+             |ad AS (
+             |  SELECT q.event_type, xq, med_q, ABS(xq - med_q) AS ad
+             |  FROM q JOIN med USING (event_type)),
+             |r2 AS (
+             |  SELECT event_type, ad,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY ad ASC NULLS FIRST) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM ad),
+             |mad AS (SELECT event_type, ad AS mad_q FROM r2
+             |        WHERE rn = (n + 1) // 2),
+             |mz AS (
+             |  SELECT a.event_type, med_q, mad_q,
+             |    ABS(0.6745 * CAST(xq - a.med_q AS DOUBLE)
+             |        / CAST(mad_q AS DOUBLE)) AS amz
+             |  FROM ad a JOIN mad USING (event_type))
+             |SELECT event_type, COUNT(*) AS cnt,
+             |  MAX(med_q) AS med_q, MAX(mad_q) AS mad_q,
+             |  CAST(SUM(CASE WHEN amz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  MAX(amz) AS max_abs_mz
+             |FROM mz GROUP BY event_type
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Ordered conversion funnel over the event stream (signup → click →
       // purchase, each stage strictly AFTER the previous stage's first
       // hit and within a 24 h conversion window of it): the classic

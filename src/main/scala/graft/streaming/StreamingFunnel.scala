@@ -50,6 +50,14 @@ final case class FunnelUser(user_id: Long, stage: Long)
   * entirely once the watermark passes their last event + span. Emission
   * is append-mode (one final row per converting user), so a downstream
   * per-stage rollup is a 3-row aggregation of finalized rows.
+  *
+  * Operational note (measured, Spark 4): the event-time timeout sweep
+  * runs when a triggered batch delivers rows TO THE STATEFUL OPERATOR —
+  * rows filtered out upstream (a non-stage event type) still advance the
+  * watermark but do not cause an eviction pass. A continuously-fed
+  * production stream sweeps every batch for free; to finalize a
+  * quiescing stream, send any stage-typed event (tests use a
+  * far-future signup under an excluded sentinel user).
   */
 object StreamingFunnel {
 

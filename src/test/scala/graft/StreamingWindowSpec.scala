@@ -156,9 +156,11 @@ class StreamingWindowSpec extends SparkSpec {
     // and require the per-stage user counts to match exactly — extending
     // the streaming≡batch parity pattern (tumbling r3, session r12) to the
     // analytics family. Users finalize when the watermark passes their
-    // conversion horizon; two far-future sentinels advance the watermark
-    // past every horizon and then trigger the timeout sweep (timeouts fire
-    // on the batch AFTER the watermark moves).
+    // conversion horizon; two far-future SIGNUP sentinels (excluded user
+    // -1) advance the watermark past every horizon and then trigger the
+    // timeout sweep — a sweep runs only when a batch delivers rows to the
+    // stateful operator, so the sentinel must survive the stage filter
+    // (same pattern as the session-window test's excluded sentinel key).
     import org.apache.spark.sql.functions.{asc_nulls_first, col}
     import graft.streaming.StreamingFunnel
     val fixture = graft.ops.tbl(spark, sfDir, "events")
@@ -178,17 +180,65 @@ class StreamingWindowSpec extends SparkSpec {
       fixture.grouped(fixture.length / 3 + 1)
         .foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
       val maxMs = fixture.map(_._1.getTime).max
-      in.addData((new Timestamp(maxMs + 5L * 86400 * 1000), -1L, "view"))
+      in.addData((new Timestamp(maxMs + 5L * 86400 * 1000), -1L, "signup"))
       q.processAllAvailable()
-      in.addData((new Timestamp(maxMs + 6L * 86400 * 1000), -1L, "view"))
+      in.addData((new Timestamp(maxMs + 6L * 86400 * 1000), -1L, "signup"))
       q.processAllAvailable()
       val streaming = spark.table("replay_funnel")
+        .filter(col("user_id") >= 0)
         .groupBy("stage").count()
         .as[(Long, Long)].collect().toMap
       val batch = query("q_event_funnel")
         .as[(Long, Long)].collect().toMap
       assert(streaming == batch,
         s"streaming funnel stage counts must equal batch: streaming=$streaming batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming funnel is arrival-order independent: shuffled replay equals batch") {
+    // the buffer-until-finalize design claim, tested head-on: replay the
+    // fixture in a DETERMINISTICALLY SHUFFLED order (multiplicative-hash
+    // sort of event_id — reproducible, and uncorrelated with ts) under a
+    // lateness horizon wider than the whole data span, so nothing is
+    // dropped and every stage event may arrive before its predecessor
+    // stage. An incremental fold would mis-stage these users; the
+    // at-finalization evaluation must still equal batch exactly.
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingFunnel
+    val fixture = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      .as[(Timestamp, Long, String, Long)].collect()
+      .sortBy { case (_, _, _, eid) => (eid % 1000003L) * 2654435761L % 4294967296L }
+      .map(r => (r._1, r._2, r._3))
+
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamingFunnel.userStages(
+      in.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type",
+      stages = Seq("signup", "click", "purchase"), lateness = "3650 days")
+    val q = out.writeStream.format("memory").queryName("replay_funnel_shuffled")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      fixture.grouped(fixture.length / 3 + 1)
+        .foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+      // sentinels must clear span + lateness for the watermark to pass
+      // every user's conversion horizon, and must be STAGE-typed so the
+      // timeout sweep runs (excluded sentinel user, as above)
+      val maxMs = fixture.map(_._1.getTime).max
+      val farMs = maxMs + (3650L + 5L) * 86400 * 1000
+      in.addData((new Timestamp(farMs), -1L, "signup"))
+      q.processAllAvailable()
+      in.addData((new Timestamp(farMs + 86400 * 1000), -1L, "signup"))
+      q.processAllAvailable()
+      val streaming = spark.table("replay_funnel_shuffled")
+        .filter(col("user_id") >= 0)
+        .groupBy("stage").count()
+        .as[(Long, Long)].collect().toMap
+      val batch = query("q_event_funnel")
+        .as[(Long, Long)].collect().toMap
+      assert(streaming == batch,
+        s"shuffled-arrival funnel must equal batch: streaming=$streaming batch=$batch")
     } finally q.stop()
   }
 

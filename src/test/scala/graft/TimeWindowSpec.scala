@@ -157,6 +157,27 @@ class TimeWindowSpec extends SparkSpec {
     }
   }
 
+  test("q_robust_outliers matches driver-side median/MAD reference classification") {
+    val got = query("q_robust_outliers")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val data = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    data.foreach { case (et, vs) =>
+      val xq = vs.map(v => math.floor(v * 10000.0).toLong).sorted
+      val n = xq.length
+      val med = xq((n + 1) / 2 - 1)
+      val ads = xq.map(x => math.abs(x - med)).sorted
+      val mad = ads((n + 1) / 2 - 1)
+      val mzs = xq.map(x => math.abs(0.6745 * (x - med).toDouble / mad.toDouble))
+      val (cnt, gMed, gMad, nOut, maxMz) = got(et)
+      assert(cnt == n.toLong && gMed == med && gMad == mad, s"$et med/mad")
+      assert(nOut == mzs.count(_ > 3.5).toLong, s"$et outliers")
+      assert(math.abs(maxMz - mzs.max) < 1e-12, s"$et max |mz|")
+    }
+  }
+
   test("percentileSummary approx within 2% of exact rank, median exact; q_percentiles picks exact discrete ranks") {
     val data = graft.ops.tbl(spark, sfDir, "events")
       .select(col("event_type"), col("value")).as[(String, Double)].collect()
