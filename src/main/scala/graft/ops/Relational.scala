@@ -274,6 +274,54 @@ object Relational {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
              |) WHERE rn = 1
              |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // FORWARD as-of (r13): each event takes the EARLIEST order of the
+      // same user STRICTLY AFTER the event timestamp — the attribution
+      // question ("which order did this touchpoint lead to?"), the mirror
+      // of q_asof_join's "latest state at event time". Same sorted-merge
+      // scale path, walked in REVERSE time order: one window pass per
+      // user carries the earliest-seen future order backward; cost stays
+      // O((|e|+|o|) log), state one order per row — no theta-join blowup.
+      // Tie rules in the sort: at equal time the event precedes the order
+      // (strict >, an equal-time order is NOT visible), and among orders
+      // at the same date the LOWEST key wins (processed last in the
+      // descending walk, so it overwrites) — matching the oracle's
+      // rank-1 (date ASC, key ASC) pick.
+      "q_asof_forward",
+      (s, d) => {
+        val e = tbl(s, d, "events")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("o_orderkey"),
+            lit(null).cast("timestamp").as("o_orderdate"))
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate").isNotNull) // same dirty-data rule as q_asof_join
+          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc_nulls_last("t"), desc_nulls_last("kind"),
+            desc_nulls_last("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("next_orderkey",
+            last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("next_orderdate",
+            last(col("o_orderdate"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("next_orderkey"),
+            col("next_orderdate"))
+          .transform(df => sortOnce(df)(asc_nulls_first("event_id")))
+      },
+      Some("""SELECT event_id, user_id, next_orderkey, next_orderdate FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey,
+             |         o.o_orderdate AS next_orderdate,
+             |         row_number() OVER (PARTITION BY e.event_id
+             |           ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
+             |) WHERE rn = 1
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -48,6 +48,21 @@ class PlanAuditSpec extends SparkSpec
 
   // The SURVEY's scale claims, pinned as plan assertions:
 
+  test("asof joins (backward + forward) plan as one union + window pass — no join operator at all") {
+    // the sorted-merge formulation's whole point: a theta-join + rank
+    // explodes as |events/user| × |orders/user|; the union + one window
+    // carries last-seen state in O((|e|+|o|) log). If either key ever
+    // plans an actual Join, the scale path regressed.
+    Seq("q_asof_join", "q_asof_forward").foreach { name =>
+      val plan = query(name).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"$name must not plan any join — union + window IS the algorithm:\n$plan")
+      assert(plan.contains("Window"), s"$name lost its window pass:\n$plan")
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+        s"$name should shuffle on user_id exactly once:\n$plan")
+    }
+  }
+
   private def scanMeta(name: String, key: String): String =
     // sparkPlan, not executedPlan: the AQE wrapper hides its children from
     // collect() until materialization
