@@ -296,6 +296,40 @@ object TimeWindows {
              |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Windowed drift monitor (r13): per (day, event_type) exact
+      // count/mean/sd — the continuously-running feed-health dashboard
+      // (a shifting per-window mean/sd is how a corrupted upstream feed
+      // announces itself). ONE definition for batch and streaming:
+      // [[windowedStats]] is a plain windowed aggregation of exact
+      // DECIMAL(38,0) power sums, so the SAME code runs under Structured
+      // Streaming with a watermark (partial-aggregatable, order-
+      // independent — StreamingWindowSpec pins frame-for-frame equality),
+      // and the mean/sd tail is the fixed IEEE sequence mirrored in the
+      // oracle. sd is NULL for single-row windows (no sample variance),
+      // CASE'd identically on both engines.
+      "q_stats_windows",
+      (s, d) => windowedStats(tbl(s, d, "events"))
+        .transform(df => sortOnce(df)(
+          asc_nulls_first("day"), asc_nulls_first("event_type"))),
+      Some("""WITH q AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |    event_type,
+             |    CAST(floor(value * 10000) AS HUGEINT) AS x
+             |  FROM events),
+             |p AS (
+             |  SELECT day, event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(x * x) AS DOUBLE) AS sxx
+             |  FROM q GROUP BY day, event_type)
+             |SELECT day, event_type, n,
+             |  sx / n / 10000.0 AS mean,
+             |  CASE WHEN n > 1 THEN
+             |    SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) / 10000.0
+             |  END AS sd
+             |FROM p
+             |ORDER BY day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Anomaly census per event_type (r13): flag events further than 3
       // sample standard deviations from the group mean, report the
       // outlier count and the extreme |z| — the data-quality monitor a
@@ -603,6 +637,34 @@ object TimeWindows {
       None
     )
   )
+
+  /** Per-(1-day-window, event_type) exact count/mean/sd — the windowed
+    * drift monitor behind q_stats_windows, shared VERBATIM between batch
+    * and streaming: a windowed aggregation of exact DECIMAL(38,0) power
+    * sums (order-independent, partial-aggregatable — precisely what a
+    * watermarked streaming agg needs) with the fixed-IEEE mean/sd tail.
+    * Pass a watermarked stream and the same plan runs under Structured
+    * Streaming; StreamingWindowSpec pins frame-for-frame equality.
+    */
+  def windowedStats(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val big = DecimalType(38, 0)
+    val x = floor(col("value") * lit(10000.0)).cast(big)
+    val agg = events
+      .select(col("ts"), col("event_type"), x.as("x"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sxi"),
+        sum(col("x") * col("x")).as("sxxi"))
+    val nD = col("n").cast("double")
+    val sx = col("sxi").cast("double")
+    val sxx = col("sxxi").cast("double")
+    agg.select(col("w.start").as("day"), col("event_type"), col("n"),
+      (sx / nD / lit(10000.0)).as("mean"),
+      when(col("n") > 1,
+        sqrt((nD * sxx - sx * sx) / (nD * (nD - lit(1.0)))) / lit(10000.0))
+        .as("sd"))
+  }
 
   /** GK-sketch quantiles (p50/p95, accuracy 1/10000) alongside the exact
     * median, per event_type — THE 100 TB quantile path: constant sketch

@@ -242,6 +242,44 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed drift monitor equals the batch q_stats_windows oracle frame frame-for-frame") {
+    // windowedStats is ONE definition for both modes: exact DECIMAL power
+    // sums are order-independent and partial-aggregatable, so the
+    // replayed stream must reproduce the hash-oracled batch frame
+    // BIT-FOR-BIT (same engine, same fixed IEEE tail) — including the
+    // n=1 NULL-sd windows if any.
+    import org.apache.spark.sql.functions.col
+    val fixture = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val out = graft.ops.TimeWindows.windowedStats(
+      in.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "3650 days"))
+    val q = out.writeStream.format("memory").queryName("replay_stats")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      fixture.grouped(fixture.length / 3 + 1)
+        .foreach { g => in.addData(g.toSeq); q.processAllAvailable() }
+      val streaming = spark.table("replay_stats")
+        .select(col("day").cast("string"), col("event_type"),
+          col("n"), col("mean"), col("sd"))
+        .as[(String, String, Long, Double, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = query("q_stats_windows")
+        .select(col("day").cast("string"), col("event_type"),
+          col("n"), col("mean"), col("sd"))
+        .as[(String, String, Long, Double, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(streaming.length == batch.length,
+        s"row counts differ: streaming=${streaming.length} batch=${batch.length}")
+      assert(streaming == batch,
+        "streaming windowed stats must equal the batch oracle frame bit-for-bit")
+    } finally q.stop()
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
