@@ -292,6 +292,48 @@ object Aggregates {
              |  COUNT(*) AS cnt
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Heavy hitters per group via sketch-then-verify (r13): pass 1 runs
+      // a Misra–Gries summary (graft.functions.MisraGries — O(k) state,
+      // map-side-combined, only ≤ k candidates per lang cross the shuffle)
+      // whose superset guarantee makes it a sound PRUNER for "tokens with
+      // count > total/(k+1)"; pass 2 re-counts JUST those candidates
+      // exactly (left-semi against the broadcast candidate set) and
+      // applies the threshold as exact integer math (cnt·(k+1) > total).
+      // Output is therefore EXACT and partition-layout-independent — the
+      // sketch affects only the plan's shuffle shape, never the answer —
+      // so the key holds a full DuckDB hash oracle (which computes the
+      // same set the brute-force way). At 100 TB the win is pass 2's
+      // shuffle carrying ~k tokens/group instead of the corpus vocabulary.
+      "q_heavy_hitters",
+      (s, d) => {
+        val k = 50
+        val toks = tbl(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .localCheckpoint(eager = false) // three consumers, one tokenize
+        val cand = toks.groupBy("lang")
+          .agg(graft.functions.MisraGries.mgSketch(k)(col("token")).as("sk"))
+          .select(col("lang"), explode(map_keys(col("sk"))).as("token"))
+        val totals = toks.groupBy("lang").agg(count(lit(1)).as("total"))
+        toks.join(broadcast(cand), Seq("lang", "token"), "left_semi")
+          .groupBy("lang", "token")
+          .agg(count(lit(1)).as("cnt"))
+          .join(broadcast(totals), "lang")
+          .filter(col("cnt") * (k + 1) > col("total"))
+          .select(col("lang"), col("token"), col("cnt"), col("total"))
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("lang"), asc_nulls_first("token")))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |n AS (SELECT lang, COUNT(*) AS total FROM t GROUP BY lang),
+             |c AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY lang, token)
+             |SELECT c.lang, c.token, c.cnt, n.total
+             |FROM c JOIN n USING (lang)
+             |WHERE c.cnt * 51 > n.total
+             |ORDER BY lang ASC NULLS FIRST, token ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -322,6 +322,52 @@ object Relational {
              |    ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
              |) WHERE rn = 1
              |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // SCD Type-2 history reconstruction (r13): treat orders as a
+      // change-log per customer and rebuild the slowly-changing-dimension
+      // row set — each change is valid from its own date until the NEXT
+      // change for the same key (lead), the last one open-ended
+      // (valid_to NULL, is_current). The catalog-maintenance primitive a
+      // training-data warehouse needs for point-in-time-correct dimension
+      // joins (pair with q_asof_join for the lookup side).
+      //
+      // Scale shape: ONE hash shuffle on the dimension key, one window
+      // pass — O(n log (n/p)) per partition, no join. Versions are dense
+      // per key (row_number), so downstream incremental merges can append
+      // version=max+1 without re-reading history. NULL-dated changes have
+      // no position on the validity axis — dropped explicitly, same dirty
+      // -data rule both engines (see q_asof_join).
+      // Ties (same key, same date) get deterministic zero-length validity
+      // windows ordered by the o_orderkey tiebreak, so replaying a batch
+      // that contains same-day corrections is idempotent and ordered.
+      "q_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc_nulls_first("o_orderdate"), asc_nulls_first("o_orderkey"))
+        tbl(s, d, "orders")
+          .filter(col("o_orderdate").isNotNull)
+          .withColumn("version", row_number().over(w).cast("int"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey"), col("version"), col("o_orderkey"),
+            col("o_orderdate").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"),
+            col("o_totalprice").as("price"))
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("o_custkey"), asc_nulls_first("version")))
+      },
+      Some("""SELECT o_custkey,
+             |  CAST(row_number() OVER w AS INT) AS version,
+             |  o_orderkey,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate, 1) OVER w AS valid_to,
+             |  (lead(o_orderdate, 1) OVER w IS NULL) AS is_current,
+             |  o_totalprice AS price
+             |FROM orders
+             |WHERE o_orderdate IS NOT NULL
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+             |ORDER BY o_custkey ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -298,4 +298,46 @@ class PlanAuditSpec extends SparkSpec
     assert(belowHashExchange.contains("HashAggregate"),
       s"a partial aggregate must run below the hash exchange:\n$plan")
   }
+
+  test("q_heavy_hitters: sketch runs as a partial ObjectHashAggregate, " +
+      "candidate/total frames broadcast") {
+    // the r13 sketch-then-verify shape: the MG Aggregator must
+    // partial-aggregate (map-side combine — the O(k)-state pass that
+    // replaces shuffling the vocabulary), and BOTH small frames (≤ k
+    // candidates per lang; one total per lang) must reach the re-count as
+    // broadcasts — a shuffled join here would re-shuffle the token stream
+    // it exists to prune
+    val plan = query("q_heavy_hitters").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"MG sketch must run under ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_misragries") || plan.contains("partial_MisraGries"),
+      s"MG sketch lost its partial (map-side) mode:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"candidate semi-join and totals join must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffled join may touch the token stream:\n$plan")
+  }
+
+  test("q_scd2_history: one hash exchange, window-only — no join") {
+    // SCD2 reconstruction is ONE partitioning by the dimension key reused
+    // by every window function; a second hash exchange or any join means
+    // the single-pass shape regressed
+    val plan = query("q_scd2_history").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"SCD2 must shuffle exactly once (on the dimension key):\n$plan")
+    assert(!plan.contains("Join"), s"SCD2 must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"SCD2 lost its window pass:\n$plan")
+  }
+
+  test("q_semdedup_prune: corpus side of the anti-join reads ids only") {
+    // the prune's wire claim: the LEFT ANTI probe carries vec_ids, never
+    // vectors — the corpus parquet scan must project exactly vec_id
+    val plan = query("q_semdedup_prune").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"prune must be a LEFT ANTI join against the dropped set:\n$plan")
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(!_.contains("embedding")),
+      s"no parquet scan in the declared plan may read the vector column " +
+        s"(the CC label frame is checkpointed; only ids flow):\n$plan")
+  }
 }
