@@ -31,6 +31,51 @@ object StatefulOps {
     */
   final case class St(events: Long, total: Double, lastMs: Long)
 
+  final case class Tok(key: String, token: String)
+
+  /** MG sketch state: the capped counter map plus the stream length seen
+    * so far (public: encoder codegen requires accessible accessors).
+    */
+  final case class TrendState(counts: Map[String, Long], n: Long)
+
+  final case class Trending(key: String, token: String, est: Long, n: Long)
+
+  /** Streaming trending-token monitor: per key (e.g. language or source),
+    * a [[graft.functions.MisraGries]] summary maintained as keyed state —
+    * the STREAMING face of q_heavy_hitters, running the very same
+    * `reduce` the batch Aggregator runs (one definition, two runtimes —
+    * the q_stats_windows/StreamingFunnel parity pattern, here for
+    * sketches). Each micro-batch folds its tokens into the state and
+    * re-emits the key's current ≤ k candidates with their estimates and
+    * the stream length n, so a dashboard can apply MG's guarantee
+    * (any token with true count > n/(k+1) is present; estimates
+    * undercount by ≤ n/(k+1)) at every point in the stream.
+    *
+    * State is O(k) per key FOREVER — no timeout needed for boundedness,
+    * which is the sketch's whole point on an unbounded token stream; pair
+    * with an exact pruned re-count over the archived corpus (the batch
+    * key) when exact figures are needed.
+    */
+  def trendingTokens(toks: Dataset[Tok], k: Int): Dataset[Trending] = {
+    implicit val stEnc = Encoders.product[TrendState]
+    implicit val outEnc = Encoders.product[Trending]
+    implicit val keyEnc = Encoders.STRING
+    val agg = new graft.functions.MisraGries(k) // Aggregator is Serializable
+    toks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[Tok], state: GroupState[TrendState]) => {
+          val prev = state.getOption.getOrElse(TrendState(Map.empty, 0L))
+          val buf = scala.collection.mutable.Map.empty[String, Long] ++= prev.counts
+          var n = prev.n
+          rows.foreach { t => agg.reduce(buf, t.token); n += 1 }
+          val st = TrendState(buf.toMap, n)
+          state.update(st)
+          st.counts.iterator.map { case (tok, est) => Trending(key, tok, est, n) }
+        })
+  }
+
   /** Per-key running (count, sum) emitted on every update; a key whose
     * last event is older than `idleMs` of EVENT time when the watermark
     * passes emits one final `expired = true` record and its state is

@@ -49,4 +49,52 @@ class StatefulSpec extends SparkSpec {
       assert(rows.contains((2L, 1L, 5.0, true)), "idle key 2 must expire")
     } finally q.stop()
   }
+
+  test("trendingTokens: streaming MG state equals the sequential batch fold, " +
+      "with the heavy-hitter guarantee at every emission") {
+    import graft.streaming.StatefulOps.Tok
+    val k = 4
+    // two keys, arrival order fixed; 'hot' dominates key a, tail churns
+    val b1 = Seq("hot", "hot", "x1", "x2", "hot", "x3").map(Tok("a", _)) ++
+      Seq("w", "w", "y1").map(Tok("b", _))
+    val b2 = Seq("hot", "x4", "x5", "hot", "x1").map(Tok("a", _))
+    val b3 = Seq("hot", "x6", "hot", "x2", "x7", "hot").map(Tok("a", _)) ++
+      Seq("w", "y2", "w").map(Tok("b", _))
+    val batches = Seq(b1, b2, b3)
+
+    val in = MemoryStream[Tok](spark)
+    val out = StatefulOps.trendingTokens(in.toDS(), k)
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table("trending")
+        .select($"key", $"token", $"est", $"n")
+        .as[(String, String, Long, Long)].collect().toSeq
+
+      // final emission per key = the LAST row set for the max n seen
+      val agg = new graft.functions.MisraGries(k)
+      Seq("a", "b").foreach { key =>
+        val stream = batches.flatten.filter(_.key == key).map(_.token)
+        // one definition, two runtimes: the streaming state must equal the
+        // MG fold over the concatenated arrival-order stream
+        val expected = agg.finish(stream.foldLeft(agg.zero)(agg.reduce))
+        val finalN = stream.size.toLong
+        val got = rows.filter(r => r._1 == key && r._4 == finalN)
+          .map(r => r._2 -> r._3).toMap
+        assert(got == expected,
+          s"key $key: streaming summary diverged from the batch fold")
+        // MG guarantee holds at the final point
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        exact.foreach { case (tok, c) =>
+          if (c > finalN.toDouble / (k + 1))
+            assert(got.contains(tok), s"key $key: heavy hitter $tok missing")
+        }
+      }
+      // every intermediate emission respects the capacity bound
+      rows.groupBy(r => (r._1, r._4)).foreach { case ((key, n), rs) =>
+        assert(rs.size <= k, s"key $key at n=$n emitted more than k rows")
+      }
+    } finally q.stop()
+  }
 }
