@@ -85,4 +85,46 @@ object Scale {
     */
   def partitionedWrite(df: DataFrame, outDir: String, partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(outDir)
+
+  /** Z-order (Morton) interleave of two non-negative int columns, 16 bits
+    * each → one 32-bit curve position. Pure codegen'd bit arithmetic
+    * (shifts/masks via the four-step bit-spread), no UDF.
+    *
+    * Why: range-partitioning a table by ONE column clusters its parquet
+    * min/max stats for that column only — a filter on any other column
+    * skips nothing. Sorting by the interleaved curve position gives every
+    * file a small bounding BOX in (a, b) space, so row-group/file stats
+    * prune scans filtering on EITHER column (or both) — the multi-column
+    * data-skipping layout a 100 TB immutable corpus is rewritten into
+    * once and scanned forever. Columns wider than 16 bits should be
+    * quantized (e.g. `(col / bucket)`) before interleaving: the curve
+    * needs locality, not identity.
+    */
+  def zorder(a: Column, b: Column): Column = {
+    // spread the low 16 bits of x to even bit positions (classic
+    // mask-shift doubling: 0x0000FFFF → …0101 pattern in 4 steps)
+    def spread(x: Column): Column = {
+      val m0 = x.bitwiseAND(lit(0xFFFFL))
+      val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+      m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+  }
+
+  /** Write `df` laid out along the (a, b) Z-order curve: range-partition +
+    * intra-partition sort on the curve position (one exchange — the same
+    * cost as any global sort), then drop the helper column. `nFiles`
+    * bounds output file count so file-level min/max stats stay coarse
+    * enough to matter. Readers need no special support: Spark's parquet
+    * scan consumes the row-group stats the layout created.
+    */
+  def zorderedWrite(df: DataFrame, outDir: String, a: String, b: String,
+      nFiles: Int): Unit =
+    df.withColumn("__z", zorder(col(a), col(b)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 }

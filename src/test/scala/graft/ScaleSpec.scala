@@ -273,6 +273,57 @@ class ScaleSpec extends SparkSpec {
       s"exactly one lang= directory must be scanned, metrics: ${scanExec.metrics.view.mapValues(_.value).toMap}")
   }
 
+  test("zorder interleave matches the reference bit-interleave") {
+    // pure-function pin: the codegen'd mask-shift spread must equal the
+    // naive per-bit reference on random 16-bit pairs
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a.toLong >> i) & 1L) << (2 * i) |
+          ((b.toLong >> i) & 1L) << (2 * i + 1)
+      }
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (0, 65535), (65535, 0))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Scale.zorder(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"zorder($a, $b) diverged")
+    }
+  }
+
+  test("z-ordered layout bounds per-file boxes on BOTH dims; 1-d sort does not") {
+    // the data-skipping claim, measured on the written files' min/max
+    // stats (what parquet row-group pruning consumes): lay out uniform
+    // (a, b) points z-ordered vs range-sorted on `a` alone, then count
+    // files whose bounding box intersects a b-dominant box query — the
+    // 1-d layout cannot prune on b at all, the curve layout must
+    val pts = graft.ops.tbl(spark, sfDir, "events")
+      .select(pmod(xxhash64(col("event_id")), lit(256L)).cast("int").as("a"),
+        pmod(xxhash64(col("event_id"), lit(1L)), lit(256L)).cast("int").as("b"))
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val lDir = java.nio.file.Files.createTempDirectory("linear").toString
+    Scale.zorderedWrite(pts, zDir, "a", "b", nFiles)
+    pts.repartitionByRange(nFiles, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(lDir)
+
+    def overlapping(dir: String): Long = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      // box query: all a, b ∈ [0, 63] — selects ~1/4 of rows
+      .filter(col("b0") <= 63)
+      .count()
+
+    val z = overlapping(zDir)
+    val l = overlapping(lDir)
+    assert(l == nFiles.toLong,
+      s"the a-sorted layout should overlap EVERY file on a b-box (got $l/$nFiles)")
+    assert(z <= nFiles / 2,
+      s"z-order must skip at least half the files on a b-box (got $z/$nFiles)")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // one hot key dominating the fact side; thresholds lowered so the
     // fixture-scale skew triggers the same re-plan a 100 TB hot key would
