@@ -9,7 +9,8 @@ import graft.ops.{Pipeline, Scale}
   * operators — the flow a 100 TB corpus runs, demonstrated on the fixture:
   *
   *   read → markup strip → rule gate (Gopher/C4) → quality gate → exact dedup →
-  *   MinHash-LSH near-dup removal → semantic benchmark decontamination →
+  *   MinHash-LSH near-dup removal → SemDeDup semantic cluster prune →
+  *   semantic benchmark decontamination →
   *   PII scrub → per-lang stratified cap → deterministic sample →
   *   train/val/test split → (split, lang)-partitioned parquet write
   *
@@ -52,18 +53,29 @@ object TrainingPipelineExample {
     // 3. near-dup removal: drop the higher id of each MinHash-LSH pair
     val neardup = Pipeline.nearDupRemoval(exact)
 
-    // 3b. semantic decontamination: drop docs whose embedding nearly
-    //    matches a held-out benchmark item — paraphrases defeat the
-    //    n-gram tier; in embedding space they are near-dups (see
-    //    q_decontaminate_fuzzy). The fixture's embedding table stands in
-    //    for both frames: vec_id < 100 plays the benchmark suite,
-    //    vec_id ≥ 100 the corpus side (vec_id aligns 1:1 with doc_id).
+    // The fixture's embedding table stands in for both embedding frames
+    // below: vec_id < 100 plays the held-out benchmark suite, vec_id >=
+    // 100 the corpus side (vec_id aligns 1:1 with doc_id; docs without a
+    // corpus embedding row pass through stages 3a/3b untouched).
     val allEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpusEmb = allEmb.filter(
       org.apache.spark.sql.functions.col("vec_id") >= 100)
     val benchEmb = allEmb.filter(
       org.apache.spark.sql.functions.col("vec_id") < 100)
-    val deconned = Pipeline.fuzzyDecontaminate(neardup, corpusEmb, benchEmb)
+
+    // 3a. SemDeDup-style semantic prune: collapse the CORPUS's own
+    //    embedding-space near-dup clusters to one representative —
+    //    catches the translations/heavy paraphrases MinHash shingles
+    //    miss (see q_semdedup_prune). Corpus frame only: pruning against
+    //    the benchmark frame is 3b's job, with different semantics
+    //    (drop EVERY match, keep no representative).
+    val semPruned = Pipeline.semanticPrune(neardup, corpusEmb)
+
+    // 3b. semantic decontamination: drop docs whose embedding nearly
+    //    matches a held-out benchmark item — paraphrases defeat the
+    //    n-gram tier; in embedding space they are near-dups (see
+    //    q_decontaminate_fuzzy).
+    val deconned = Pipeline.fuzzyDecontaminate(semPruned, corpusEmb, benchEmb)
 
     // 4. PII scrub: redact emails/digit runs, keep the audit hit count
     //    (stateless projection — free to compose anywhere in the flow)
@@ -89,11 +101,12 @@ object TrainingPipelineExample {
       "raw" -> raw.count(), "rule_gate" -> ruled.count(),
       "quality" -> quality.count(),
       "exact_dedup" -> exact.count(), "neardup_removed" -> nNeardup,
+      "sem_pruned" -> semPruned.count(),
       "decontaminated" -> nDecon,
       "sampled" -> sampled.count(),
       "written" -> spark.read.parquet(outDir).count())
     counts.foreach { case (stage, n) => println(f"$stage%-16s $n%6d docs") }
-    println(f"  decon audit: ${nNeardup - nDecon}%d docs flagged as semantic " +
+    println(f"  decon audit: ${semPruned.count() - nDecon}%d docs flagged as semantic " +
       f"matches of ${benchEmb.count()}%d benchmark items (removed pre-scrub)")
     assigned.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(f"  split ${r.getString(0)}%-6s ${r.getLong(1)}%6d docs"))

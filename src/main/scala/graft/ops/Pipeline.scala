@@ -47,6 +47,27 @@ object Pipeline {
     df.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic prune stage: collapse each embedding-space
+    * near-dup CLUSTER to its min-id representative (cluster machinery is
+    * ONE definition shared with q_semdedup_prune:
+    * [[Similarity.lshNearDupPairs]] + [[Dedup.connectedComponents]]).
+    * Complements [[nearDupRemoval]] — MinHash catches lexical
+    * near-copies, the embedding tier catches semantic ones (translations,
+    * heavy paraphrases) that share few shingles. Representative choice is
+    * id-stable across reruns, so incremental consumers see no churn.
+    * Documents without an embedding row pass through unpruned.
+    *
+    * @param emb corpus embeddings keyed `vec_id` = the corpus doc_id
+    */
+  def semanticPrune(df: DataFrame, emb: DataFrame,
+      floor: Double = 0.4, nBits: Int = 0): DataFrame = {
+    val dropped = Dedup.connectedComponents(
+        Similarity.lshNearDupPairs(emb, nBits = nBits, floor = floor))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    df.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Semantic decontamination stage — the curation chain's LAST dedup
     * gate: drop every document whose embedding nearly matches ANY held-out
     * benchmark embedding. A paraphrased eval item defeats exact n-gram

@@ -147,4 +147,21 @@ class PipelineSpec extends SparkSpec {
     assert(keptMean > corpusMean,
       f"weighted keep must oversample long docs: kept mean $keptMean%.0f vs corpus $corpusMean%.0f")
   }
+
+  test("semanticPrune drops exactly the non-representative cluster members") {
+    import spark.implicits._
+    val docs = graft.ops.tbl(spark, sfDir, "documents")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pruned = graft.ops.Pipeline.semanticPrune(docs, emb, nBits = 4)
+      .select("doc_id").as[Long].collect().toSet
+    // reference drop set straight from the cluster machinery
+    val dropped = graft.ops.Dedup.connectedComponents(
+        graft.ops.Similarity.lshNearDupPairs(emb, nBits = 4))
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(pruned == all -- dropped)
+    assert(dropped.nonEmpty, "fixture planted no semantic near-dups — vacuous")
+  }
 }
