@@ -186,6 +186,49 @@ object TextOps {
       .select("a_id", "b_id", "inter_cnt", "union_cnt")
   }
 
+  /** DIRECTIONAL containment pairs (|A∩B| / |A| > minCont10/10): document
+    * A's shingle set mostly inside B's — the duplication mode symmetric
+    * Jaccard is blind to (a tweet quoted inside an article scores J ≈ 0
+    * but containment ≈ 1; boilerplate/quote inclusion is rampant in web
+    * corpora). Same inverted-index equi-join + dfCeiling skew guard as
+    * [[jaccardPairs]] (one shingle materialization, one intersection
+    * shuffle), but NO size-ratio join prune — a tiny doc inside a huge
+    * one is exactly the signal, so size-incompatible pairs must reach the
+    * intersection count. Both directions derive from the single a<b
+    * intersection; near-identical pairs legitimately appear in both.
+    */
+  def containmentPairs(tokens: org.apache.spark.sql.DataFrame,
+      dfCeiling: Long, minCont10: Int = 8): org.apache.spark.sql.DataFrame = {
+    val sh0 = tokens.select(col("doc_id"), xxhash64(col("token")).as("token"))
+      .distinct()
+      .localCheckpoint(eager = false) // same 4-consumer reuse as jaccardPairs
+    val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCeiling).select("token")
+    val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // Unlike jaccardPairs, sizes do NOT ride the index rows: they appear
+    // in no join condition here, so carrying them through the
+    // intersection shuffle (the big one — every co-bucketed pair) would
+    // widen it for nothing. Join them onto the aggregated pair set
+    // instead: the doc-count-sized frame meets the pair-count-sized
+    // frame, both orders of magnitude below the index.
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+    val dirA = inter.filter(col("inter_cnt") * 10 > col("a_sz") * minCont10)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("inter_cnt"), col("a_sz").as("contained_sz"),
+        col("b_sz").as("container_sz"))
+    val dirB = inter.filter(col("inter_cnt") * 10 > col("b_sz") * minCont10)
+      .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+        col("inter_cnt"), col("b_sz").as("contained_sz"),
+        col("a_sz").as("container_sz"))
+    dirA.unionByName(dirB)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_text_stats",
@@ -359,6 +402,54 @@ object TextOps {
              |JOIN sizes sb ON sb.doc_id = b_id
              |WHERE inter_cnt * 10 > (sa.sz + sb.sz - inter_cnt) * 6
              |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Directional containment-duplication census (r13): shingle-set
+      // containment > 0.8 — doc-inside-doc duplication (quotes,
+      // boilerplate inclusion) that symmetric Jaccard scores near zero.
+      // Same shingle definition/hash as the jaccard and minhash tiers;
+      // both directions fall out of ONE a<b intersection count, so the
+      // cost over q_jaccard_shingles is only the lost size-ratio join
+      // prune — which containment semantics genuinely forbid.
+      "q_jaccard_containment",
+      (s, d) => {
+        containmentPairs(
+            Dedup.shingleHashStream(tbl(s, d, "documents"))
+              .withColumnRenamed("h1", "token"),
+            dfCeiling = 1000)
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("contained_id"), asc_nulls_first("container_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh0 AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |sh AS (
+             |  SELECT doc_id, token FROM sh0
+             |  WHERE token NOT IN (
+             |    SELECT token FROM sh0 GROUP BY token HAVING COUNT(*) > 1000)),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_cnt
+             |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT a_id AS contained_id, b_id AS container_id, inter_cnt,
+             |         sa.sz AS contained_sz, sb.sz AS container_sz
+             |  FROM inter JOIN sizes sa ON sa.doc_id = a_id
+             |             JOIN sizes sb ON sb.doc_id = b_id
+             |  WHERE inter_cnt * 10 > sa.sz * 8
+             |  UNION ALL
+             |  SELECT b_id, a_id, inter_cnt, sb.sz, sa.sz
+             |  FROM inter JOIN sizes sa ON sa.doc_id = a_id
+             |             JOIN sizes sb ON sb.doc_id = b_id
+             |  WHERE inter_cnt * 10 > sb.sz * 8)
+             |SELECT contained_id, container_id, inter_cnt, contained_sz, container_sz
+             |FROM d
+             |ORDER BY contained_id ASC NULLS FIRST, container_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Bigram (2-token shingle) frequency over the corpus — the n-gram

@@ -146,4 +146,34 @@ class TextEdgeSpec extends SparkSpec {
     // an unclosed tag is not markup by the grammar: it survives as text
     assert(strip("a </p>trail<p") == "a trail<p")
   }
+
+  test("containmentPairs flags a quote-inside-article pair symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = the "quote" (8 tokens, 6 shingles), doc 2 = an "article"
+    // fully containing it plus enough novel text that J = 6/34 ≈ 0.18 —
+    // far below the 0.6 jaccard tier; containment(1→2) = 1.0. doc 3 is
+    // unrelated.
+    val quote = "the quick brown fox jumps over the dog"
+    val article = ("breaking news today " + quote + " reporters said more " +
+      "words follow here and keep following with fresh material every line " +
+      "until the vocabulary is clearly bigger than the quoted fragment")
+    val dir = Files.createTempDirectory("containment").toString
+    Seq((1L, quote, "en", "s", quote.length.toLong),
+        (2L, article, "en", "s", article.length.toLong),
+        (3L, "completely different text about sailing ships across oceans", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cont = SparkEntry.queries("q_jaccard_containment")(spark, dir)
+      .select("contained_id", "container_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)),
+      s"expected exactly the quote⊂article direction, got $cont")
+    // the symmetric tier must NOT pair them (that's the blind spot)
+    val sym = SparkEntry.queries("q_jaccard_shingles")(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sym.contains((1L, 2L)),
+      "planted pair must be invisible to symmetric Jaccard for the test to mean anything")
+  }
 }
