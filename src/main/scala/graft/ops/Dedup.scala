@@ -227,6 +227,76 @@ object Dedup {
       .agg(countDistinct(col("h1")).as("n_hits"))
   }
 
+  /** Bloom-pruned decontamination: the same contract as [[decontaminate]]
+    * (per-corpus-doc count of k-shingles shared with `bench`), but the
+    * corpus shingle stream is first filtered through a Bloom filter of the
+    * bench shingle hashes, then exact-verified — so the OUTPUT is exact
+    * (bloom false positives die in the verify join; false negatives are
+    * impossible by construction: every bench shingle set its own probe
+    * bits). This is the scale shape for when the bench shingle set is too
+    * big for a broadcast hash join: at ~10 bits/key the bitmap is an order
+    * of magnitude smaller than a hash table over the same keys (1 G
+    * shingles ≈ 1.25 GB of bitmap vs tens of GB of hash table), and the
+    * corpus side entering the exact join shrinks from |corpus shingles| to
+    * |true hits| + fpRate·|corpus shingles| — the shuffle the fallback
+    * path pays is pruned ~e^(-probes·ln2) before it happens.
+    *
+    * The bitmap is built DISTRIBUTED (per-word OR, map-side combinable —
+    * the shuffle carries ≤ m/64 word rows, never the key set) and
+    * collected once: words ≈ 10·n_bench_shingles/64 longs, the same
+    * driver-bounded footprint as any broadcast build. Probing is pure
+    * codegen'd integer Column arithmetic over the precomputed shingle hash
+    * (per-probe seeded re-hash under a power-of-2 mask — fixed-width long
+    * hashing, overflow-free under ANSI, same trick as the minhash
+    * functions — then bit_get into a literal word array) — no UDF, no
+    * per-row JVM call boundary, and the literal array lives once in the
+    * generated class's references, never copied per row.
+    */
+  def bloomDecontaminate(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, k: Int = 3,
+      bitsPerKey: Int = 10, nProbes: Int = 7,
+      maxBroadcastShingles: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    val benchSet = shingleHashStreamPos(bench, k).select("h1").distinct()
+      .localCheckpoint(eager = true) // one bench pass: count + build + join
+    val nKeys = benchSet.count()
+    // power-of-2 bit count → position extraction is mask/shift (codegen
+    // AND); min 1024 bits keeps the tiny-bench edge simple
+    val mBits = {
+      var m = 1024L
+      while (m < nKeys * bitsPerKey) m <<= 1
+      m
+    }
+    val mask = mBits - 1
+    // probe i of hash h: xxhash64(i, h) & mask — nProbes INDEPENDENT hash
+    // functions (better than double hashing's h+i·h′ lattice, and ANSI-
+    // safe: seeded re-hash cannot overflow where the additive form can)
+    def probes(h: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until nProbes).map(i => xxhash64(lit(i), h).bitwiseAND(lit(mask)))
+    // distributed bitmap build: position → (word, bitmask), OR per word;
+    // shiftleft with a COLUMN shift amount exists only in the SQL dialect,
+    // hence the expr() on named columns
+    val wordRows = benchSet
+      .select(explode(array(probes(col("h1")): _*)).as("pos"))
+      .selectExpr("cast(pos div 64 as int) as w",
+        "shiftleft(1L, cast(pos % 64 as int)) as b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val words = new Array[Long]((mBits / 64).toInt)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedLit(words.toSeq)
+    val hit = probes(col("h1")).map { p =>
+      bit_get(element_at(wordsLit, (shiftright(p, 6) + lit(1)).cast("int")),
+        p.bitwiseAND(lit(63L))) === lit(1)
+    }.reduce(_ && _)
+    val benchSide =
+      if (nKeys <= maxBroadcastShingles) broadcast(benchSet) else benchSet
+    shingleHashStreamPos(corpus, k).select("doc_id", "h1")
+      .filter(hit) // bloom prune — the only stage the exact path lacks
+      .join(benchSide, Seq("h1")) // exact verify kills false positives
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h1")).as("n_hits"))
+  }
+
   /** Incremental ingestion dedup: drop docs from `batch` whose text
     * already exists in the seen corpus (represented by its xxhash64 text
     * hashes — at 100 TB the seen side IS a maintained hash index, never
@@ -440,6 +510,38 @@ object Dedup {
       },
       // the oracle builds the SAME shingle sets from strings — shared-
       // shingle counts are identical modulo a 64-bit hash collision
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |bench AS (SELECT DISTINCT token FROM sh WHERE doc_id < 20)
+             |SELECT s.doc_id, COUNT(DISTINCT s.token) AS n_hits
+             |FROM sh s JOIN bench b ON s.token = b.token
+             |WHERE s.doc_id >= 20
+             |GROUP BY s.doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Bloom-pruned decontamination (r13): same answer as
+      // q_decontaminate — the bloom is a PRUNE, exact-verified, so false
+      // positives cannot surface — via a ~10-bits/key bitmap of the bench
+      // shingle hashes probed with codegen'd integer arithmetic. The
+      // 100 TB role: when the bench shingle set outgrows a broadcast hash
+      // join, the bitmap (order-of-magnitude smaller) still ships to every
+      // task and prunes the corpus stream BEFORE the shuffle the exact
+      // fallback path would pay. Bloom/exact equivalence is additionally
+      // pinned property-style in DedupSpec; the oracle is the exact
+      // semantics, shared with q_decontaminate.
+      "q_bloom_decontaminate",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select("doc_id", "text")
+        bloomDecontaminate(docs.filter(col("doc_id") >= 20),
+            docs.filter(col("doc_id") < 20))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
              |sh AS (
              |  SELECT DISTINCT doc_id, unnest(

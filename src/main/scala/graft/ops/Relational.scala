@@ -368,6 +368,44 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_custkey
              |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
              |ORDER BY o_custkey ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // CDC changelog apply / MERGE (r13): the snapshot complement to
+      // q_scd2_history (which keeps every version): apply an ordered
+      // change log latest-wins per key, honoring delete markers, and emit
+      // the CURRENT state only — the upsert primitive every incremental
+      // table-maintenance pipeline runs (Delta/Hudi/Iceberg MERGE
+      // semantics re-expressed as a plain window). events stands in as
+      // the log: key = user_id, ts+event_id orders the log, event_type
+      // 'error' is the delete marker. ONE key-hash shuffle feeds both
+      // windows (row_number and the per-key change count share the
+      // partitioning — Catalyst plans a single exchange); no join. At
+      // 100 TB: latest-wins per key is exactly the map-side-combinable
+      // shape AQE handles under skew, and the delete filter happens
+      // AFTER rn=1 so a delete marker correctly erases the key rather
+      // than resurrecting the penultimate version.
+      "q_cdc_apply",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(desc_nulls_last("ts"), desc_nulls_last("event_id"))
+        val wAll = Window.partitionBy("user_id")
+        tbl(s, d, "events")
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n_changes", count(lit(1)).over(wAll))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"), col("ts").as("last_ts"),
+            col("n_changes"))
+          .transform(df => sortOnce(df)(asc_nulls_first("user_id")))
+      },
+      Some("""SELECT user_id, event_type AS last_type, value AS last_value,
+             |       ts AS last_ts,
+             |       COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+             |  AND event_type <> 'error'
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }

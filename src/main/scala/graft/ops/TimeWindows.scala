@@ -623,6 +623,60 @@ object TimeWindows {
       None
     ),
     Q(
+      // Per-group exact discrete percentiles (r13): p50/p90/p99 of value
+      // per event_type via DISTINCT-VALUE COMPRESSION — groupBy
+      // (group, value) count (map-side combinable: the only corpus-sized
+      // shuffle carries one row per distinct value, not per event), then
+      // a cumulative-count window over the compressed frame picks the
+      // value at rank ceil(p·n/100). This is the skew-safe exact shape:
+      // the naive window-rank formulation sorts every raw row inside ~5
+      // fat partitions (one per event_type — exactly the low-cardinality
+      // skew a 1000-executor cluster dies on); here the per-group window
+      // runs over |distinct values| rows. All rank math is exact integer
+      // (ceil as (p·n+99) div 100) and the output value is SELECTED, not
+      // computed — no float arithmetic to drift cross-engine. The GK
+      // sketch (q_percentiles' sibling surface) stays the
+      // constant-state path when even distinct values are unbounded.
+      "q_group_quantiles",
+      (s, d) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(asc_nulls_first("value"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        tbl(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(wOrd))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .withColumn("pct", explode(array(lit(50), lit(90), lit(99))))
+          .withColumn("target", expr("(pct * n + 99) div 100"))
+          .filter(col("cum") >= col("target") &&
+            col("cum") - col("cnt") < col("target"))
+          .select(col("event_type"), col("pct"), col("n").cast("long").as("n"),
+            col("value").as("q_value"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("pct"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, value, COUNT(*) AS cnt FROM events
+             |  WHERE value IS NOT NULL GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, value, cnt,
+             |    SUM(cnt) OVER (PARTITION BY event_type
+             |      ORDER BY value ASC NULLS FIRST
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM c),
+             |p AS (SELECT unnest([50, 90, 99]) AS pct)
+             |SELECT r.event_type, p.pct, CAST(r.n AS BIGINT) AS n,
+             |       r.value AS q_value
+             |FROM r CROSS JOIN p
+             |WHERE r.cum >= (p.pct * r.n + 99) // 100
+             |  AND r.cum - r.cnt < (p.pct * r.n + 99) // 100
+             |ORDER BY event_type ASC NULLS FIRST, pct ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // HLL++ sketch distinct per event_type; ScalaTest asserts ±5% of
       // exact. No oracle (HLL implementations differ across engines).
       "q_approx_distinct",

@@ -76,6 +76,66 @@ object StatefulOps {
         })
   }
 
+  /** One CDC change-log record: `tsMicros` + `seq` totally order the log
+    * per key (seq is the unique tiebreak — the batch face uses event_id);
+    * `op` is the change type, one value of which is the delete marker.
+    */
+  final case class Change(key: Long, tsMicros: Long, seq: Long, op: String,
+      value: Double)
+
+  /** Keyed CDC state: the latest-so-far change plus the change count
+    * (public: encoder codegen requires accessible accessors).
+    */
+  final case class CdcState(tsMicros: Long, seq: Long, op: String,
+      value: Double, n: Long)
+
+  final case class CdcSnap(key: Long, lastType: String, lastValue: Double,
+      lastTsMicros: Long, nChanges: Long, deleted: Boolean)
+
+  /** Streaming CDC apply — the STREAMING face of q_cdc_apply
+    * (ops/Relational.scala): maintain the latest-wins MERGE snapshot of an
+    * unbounded change log as keyed state, honoring delete markers. Every
+    * micro-batch folds its changes in ((tsMicros, seq) lexicographic
+    * later-wins — ARRIVAL ORDER NEVER MATTERS, late or reordered changes
+    * fold to the same state, the StreamingFunnel property) and re-emits
+    * the key's current snapshot row; `deleted` carries tombstones so a
+    * downstream sink can retract (emitting nothing would leave a stale
+    * row live downstream — and a later un-delete must resurface the key,
+    * so state is kept, not removed, on delete).
+    *
+    * State is O(1) per live key — the snapshot IS the state, exactly the
+    * reference bus's unacked-map shape (common/unacked.go) generalized
+    * from "delivered?" to "current version". No timeout: a dimension
+    * snapshot must not forget idle keys; compose with runningTotals-style
+    * event-time expiry when the key space is genuinely unbounded.
+    * StatefulSpec pins the final emission per key frame-for-frame equal
+    * to the batch q_cdc_apply window on the same log, fed shuffled.
+    */
+  def cdcSnapshot(changes: Dataset[Change],
+      deleteOp: String = "error"): Dataset[CdcSnap] = {
+    implicit val stEnc = Encoders.product[CdcState]
+    implicit val outEnc = Encoders.product[CdcSnap]
+    implicit val keyEnc = Encoders.scalaLong
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[Change], state: GroupState[CdcState]) => {
+          var st = state.getOption.orNull
+          rows.foreach { c =>
+            val later = st == null || c.tsMicros > st.tsMicros ||
+              (c.tsMicros == st.tsMicros && c.seq > st.seq)
+            st =
+              if (later) CdcState(c.tsMicros, c.seq, c.op, c.value,
+                if (st == null) 1L else st.n + 1L)
+              else st.copy(n = st.n + 1L)
+          }
+          state.update(st)
+          Iterator.single(CdcSnap(key, st.op, st.value, st.tsMicros, st.n,
+            deleted = st.op == deleteOp))
+        })
+  }
+
   /** Per-key running (count, sum) emitted on every update; a key whose
     * last event is older than `idleMs` of EVENT time when the watermark
     * passes emits one final `expired = true` record and its state is

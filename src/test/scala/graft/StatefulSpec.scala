@@ -97,4 +97,53 @@ class StatefulSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("cdcSnapshot: streaming latest-wins state equals the batch q_cdc_apply " +
+      "window on the same log, fed SHUFFLED across micro-batches") {
+    import graft.streaming.StatefulOps.{Change, CdcSnap}
+    import org.apache.spark.sql.functions._
+    // the real fixture log: events at sf0.001, µs timestamps, event_id as
+    // the unique seq — identical input to the batch face
+    val changes = graft.ops.tbl(spark, sfDir, "events")
+      .select(col("user_id").as("key"),
+        (unix_micros(col("ts"))).as("tsMicros"),
+        col("event_id").as("seq"), col("event_type").as("op"), col("value"))
+      .as[Change].collect().toSeq
+    // deterministic shuffle: hash order, NOT log order — arrival-order
+    // independence is the property under test
+    val shuffled = changes.sortBy(c => scala.util.hashing.MurmurHash3
+      .productHash((c.seq, c.key)))
+    val batches = shuffled.grouped(shuffled.size / 3 + 1).toSeq
+
+    val in = MemoryStream[Change](spark)
+    val out = StatefulOps.cdcSnapshot(in.toDS())
+    val q = out.writeStream.format("memory").queryName("cdc_snap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val rows = spark.table("cdc_snap")
+        .as[CdcSnap].collect().toSeq
+      // final emission per key = the row carrying the key's full change
+      // count; live keys must equal the batch window, deleted keys must
+      // be tombstones that the batch face (correctly) omits
+      val finalByKey = rows.groupBy(_.key).map { case (k, rs) =>
+        k -> rs.maxBy(_.nChanges)
+      }
+      val batchRows = query("q_cdc_apply")
+        .select(col("user_id"), col("last_type"), col("last_value"),
+          unix_micros(col("last_ts")), col("n_changes"))
+        .as[(Long, String, Double, Long, Long)].collect().toSeq
+      val batchByKey = batchRows.map(r => r._1 -> r).toMap
+      batchByKey.foreach { case (k, (_, lt, lv, lts, nc)) =>
+        val s = finalByKey(k)
+        assert(!s.deleted && s.lastType == lt && s.lastValue == lv &&
+          s.lastTsMicros == lts && s.nChanges == nc,
+          s"key $k: streaming snapshot ${s} diverged from batch ($lt,$lv,$lts,$nc)")
+      }
+      finalByKey.foreach { case (k, s) =>
+        assert(batchByKey.contains(k) != s.deleted,
+          s"key $k: deleted=${s.deleted} must mean absent from the batch snapshot")
+      }
+    } finally q.stop()
+  }
 }
