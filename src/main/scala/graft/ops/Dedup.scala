@@ -342,6 +342,60 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Boilerplate span REMOVAL — the rewrite companion of [[substringDedup]]
+    * (which only reports): every k-token span occurring in ≥ `minDocs`
+    * distinct documents is excised from every document carrying it, and the
+    * document text is rebuilt from the surviving tokens. This is the
+    * cross-document boilerplate scrub (headers, footers, license blocks,
+    * injected templates) a curation pipeline runs AFTER whole-doc dedup —
+    * the duplication that survives document-level tiers because it hides
+    * inside otherwise-unique documents.
+    *
+    * Shape at 100 TB: the span stream and the duplicated-span set shuffle
+    * 8-byte hashes + int positions, never span text (shared
+    * [[shingleHashStreamPos]]); covered token positions are generated from
+    * the HIT spans only (bounded by hits × k, not corpus × k); the token
+    * stream anti-joins on (doc_id, pos) — co-partitioned with the rebuild's
+    * doc_id aggregation, so the rebuild rides the same exchange. Per-doc
+    * `collect_list` state is one document's tokens — bounded by max doc
+    * length, not corpus size.
+    */
+  def spanScrub(docs: org.apache.spark.sql.DataFrame, k: Int,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    // three consumers of the span stream (dup set, hit join) and two of the
+    // token stream → localCheckpoint, same rationale as substringDedup
+    val spans = shingleHashStreamPos(docs, k).localCheckpoint(eager = false)
+    val dup = spans.select("h1", "doc_id").distinct()
+      .groupBy("h1").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h1")
+    // positions covered by at least one duplicated span; a short doc's
+    // whole-doc shingle covers 0..k-1 — past-the-end positions are
+    // harmless (nothing to anti-join away there)
+    val covered = spans.join(dup, Seq("h1"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        // pos is unique per doc, so the struct sort is a total order and
+        // the rebuilt text is deterministic on any partitioning
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
