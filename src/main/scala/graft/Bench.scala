@@ -42,31 +42,46 @@ object Bench {
     // Sorted key order: STABLE across rounds (a Map's iteration order
     // reshuffles as keys are added, which moves where residual warm-up
     // cost lands and makes per-query numbers incomparable round-to-round).
+    // Per-query success flag (r15): through r14 a throwing query was billed
+    // as a ~0.06 s "success" (`catch { case _ => -1L }` inside the timed
+    // lambda) and the JSON looked like a fully-passing bench on a tree
+    // where 21% of the inventory could not execute. A failed query now
+    // lands in `"failed":[...]`, is excluded from the total, and forces a
+    // nonzero exit code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Evaluate the FULL physical plan: toRdd.count() materializes every
       // output column (a DataFrame count() would let Catalyst prune the
       // projections away and flatter projection-heavy queries).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // 3-decimal seconds via Locale.ROOT: ms precision is below box noise,
     // and a locale-default format would emit comma decimals (invalid JSON)
     // on e.g. a de_DE JVM.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // Only SUCCESSFUL queries contribute timings — a failure's wall time is
+    // analysis-error latency, not plan cost, and must not pollute the
+    // round-over-round per-query comparison.
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true) => v }.sum
     // Stop Spark BEFORE printing so no executor/shutdown log line can land
     // after the JSON — but never let a failing stop() eat the output.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
     // Full per-query map on its OWN line (~2.4 KB for 93 queries — bigger
     // than the driver's 2,000-byte log-tail window, so it must not be last).
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     // LAST line: compact total-only JSON, guaranteed to fit the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

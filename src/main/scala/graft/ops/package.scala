@@ -34,17 +34,42 @@ package object ops {
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet timestamp[ns], which Spark rejects unless read as
-    // a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in every
-    // session builder + build.sbt javaOptions). Convert ns → µs timestamp
-    // with exact integer division (a double division would lose precision:
-    // ns epochs exceed 2^53).
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (name == "events") df.withColumn("ts", eventsTsToTimestamp(df))
     else df
   }
+
+  /** Normalize events.ts to TimestampType regardless of how the fixture
+    * stores it — the driver fixture has shipped BOTH encodings over time:
+    *   - parquet timestamp[ns]: Spark rejects ns unless read as a raw long
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
+    *     builder + build.sbt javaOptions) → exact integer ns→µs division
+    *     (a double division would lose precision: ns epochs exceed 2^53);
+    *   - parquet timestamp[us] without tz: reads as TIMESTAMP_NTZ → cast to
+    *     TimestampType (UTC session ⇒ same instant, same parquet schema on
+    *     the Verify dump as the long path, which the DuckDB oracle compare
+    *     depends on).
+    * Anything else (already TimestampType, or a future driver change) casts
+    * through the same single branch; a non-castable type fails analysis
+    * loudly rather than producing a silently-wrong column.
+    */
+  def eventsTsToTimestamp(df: DataFrame): Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _ => col("ts").cast(TimestampType)
+    }
+  }
+
+  /** SQL-string form of [[eventsTsToTimestamp]] for adapters that take a
+    * tsExpr string (e.g. bus.TableReplaySource replaying the events table).
+    */
+  def eventsTsExprSql(spark: SparkSession, path: String): String =
+    spark.read.parquet(path).schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _ => "cast(ts as timestamp)"
+    }
 
   /** Exact-decimal view of a double metric column. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

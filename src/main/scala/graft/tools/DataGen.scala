@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * and check every hot query scales ~linearly (PROFILE_sf1.txt).
   *
   * Same schemas, same value shapes and cardinalities as the driver tables
-  * (events.ts is written as a raw ns-since-epoch long, which is exactly
-  * what reading the driver's timestamp[ns] parquet under
-  * `nanosAsLong=true` yields — `graft.ops.tbl` converts either source
-  * identically). Every column derives from xxhash64(salt, id): generation
+  * (events.ts is written as a µs timestamp_ntz — parquet timestamp[us] —
+  * matching the driver fixture since r14; `graft.ops.tbl` type-switches on
+  * the ts encoding so either generation reads identically). Every column
+  * derives from xxhash64(salt, id): generation
   * is partition-independent and reproducible at any parallelism, with no
   * driver-side loops — the generator itself is a distributed job and
   * would produce a 100 TB fixture the same way it produces 1 GB.
@@ -152,18 +152,24 @@ object DataGen {
       timestamp_millis(lit(789696000000L) + shipDay * lit(86400000L))
         .cast("timestamp_ntz").as("l_shipdate")), "lineitem")
 
-    // events: ts is a raw ns-since-epoch LONG (what nanosAsLong yields from
-    // the driver's timestamp[ns] files) — monotone in event_id over 30 days
-    // from 2024-01-01, with sub-step jitter
+    // events: ts is a µs TIMESTAMP_NTZ (parquet timestamp[us], what the
+    // driver fixture ships as of r14 — it was timestamp[ns] through r12) —
+    // monotone in event_id over 30 days from 2024-01-01, with sub-step
+    // jitter. The instant is computed in exact ns integer arithmetic and
+    // floored to µs with `div` (a double division would lose precision: ns
+    // epochs exceed 2^53), so the values are bit-identical to what the old
+    // ns-long encoding produced after graft.ops.tbl's ns→µs conversion.
     val nsSpan = 30L * 86400L * 1000000000L
     save(rng(nEvents, parts).select(
       col("id").as("event_id"),
       (lit(1704067200000000000L) + col("id") * lit(nsSpan / math.max(1L, nEvents)) +
-        hmod("ejit", 1000000000L, col("id"))).as("ts"),
+        hmod("ejit", 1000000000L, col("id"))).as("ts_ns"),
       hmod("euser", math.max(1L, nCust / 10), col("id")).as("user_id"),
       pick("etyp", Seq("click", "error", "purchase", "signup", "view"), col("id")).as("event_type"),
       hdouble("eval", 0.0, 561.0, 2, col("id")).as("value"),
-      concat(lit("{\"k\": "), hmod("eprop", 100, col("id")), lit("}")).as("props")), "events")
+      concat(lit("{\"k\": "), hmod("eprop", 100, col("id")), lit("}")).as("props"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props"), "events")
 
     // documents: 10-100 vocab words; ~1.5% of rows are planted exact
     // duplicates of another doc's text (same shape the dedup family

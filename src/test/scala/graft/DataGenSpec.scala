@@ -61,11 +61,31 @@ class DataGenSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir2/nation.parquet").count() == 25)
   }
 
-  test("DataGen events.ts is a raw ns long that tbl() converts like the driver's") {
+  test("DataGen events.ts is a µs timestamp_ntz that tbl() converts like the driver's") {
     val sch = spark.read.parquet(s"$genA/events.parquet").schema
-    assert(sch("ts").dataType.typeName == "long")
+    assert(sch("ts").dataType.typeName == "timestamp_ntz")
     val viaTbl = graft.ops.tbl(spark, genA, "events").schema
     assert(viaTbl("ts").dataType.typeName == "timestamp")
+  }
+
+  test("tbl() reads the ns-long and µs-ntz events encodings to identical instants") {
+    // The driver fixture shipped ts as timestamp[ns] (read as a raw long
+    // under nanosAsLong) through r12 and as timestamp[us] (TIMESTAMP_NTZ)
+    // since r14 — the r13/r14 breakage was tbl() assuming the long form.
+    // Pin both branches: the same underlying instants must come back as the
+    // same TimestampType values regardless of fixture encoding.
+    val base = Files.createTempDirectory("tbl-enc").toString
+    val ntz = graft.ops.tbl(spark, genA, "events")
+      .select(col("event_id"), col("ts"))
+    // re-encode the SAME fixture as the legacy ns-long form
+    spark.read.parquet(s"$genA/events.parquet")
+      .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val viaLong = graft.ops.tbl(spark, base, "events")
+      .select(col("event_id"), col("ts"))
+    assert(viaLong.schema("ts").dataType.typeName == "timestamp")
+    assert(ntz.exceptAll(viaLong).count() == 0 && viaLong.exceptAll(ntz).count() == 0,
+      "both encodings must yield identical (event_id, ts) instants through tbl()")
   }
 
   test("every planted document duplicate matches its source text exactly") {

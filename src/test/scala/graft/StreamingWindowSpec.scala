@@ -88,7 +88,8 @@ class StreamingWindowSpec extends SparkSpec {
     import org.apache.spark.sql.functions.lit
     import graft.bus.TableReplaySource
     val src = new TableReplaySource(s"$sfDir/events.parquet",
-      idCol = "event_id", tsExpr = "timestamp_micros(ts div 1000)")
+      idCol = "event_id",
+      tsExpr = graft.ops.eventsTsExprSql(spark, s"$sfDir/events.parquet"))
     val stream = src.stream(spark).withColumn("value", lit(1.0))
     val out = StreamingWindows.tumbling(stream, "ts", "1 day", "3650 days")
     val q = out.writeStream.format("memory").queryName("replay_tumbling")
