@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   * `ctr.failsend` in code but documents `ctr.failsink`; we standardize on
   * `failsink` (SURVEY.md §7.5).
   */
-final class BusStats {
+final class BusStats(sink: StatsSink = NoopStatsSink) {
   val rcv = new AtomicLong()
   val send = new AtomicLong()
   val ack = new AtomicLong()
@@ -23,6 +23,24 @@ final class BusStats {
   val failsink = new AtomicLong()
   val error = new AtomicLong()
   @volatile var lastRowsPerSec: Double = 0.0
+
+  // Every mutation goes through one of these so the attached StatsSink sees
+  // exactly the deltas the in-process counters see (reference parity:
+  // stats.Increment on each bucket, /root/reference/stats.go:5-7).
+  private def add(ctr: AtomicLong, bucket: String, n: Long): Unit = {
+    ctr.addAndGet(n)
+    sink.increment(bucket, n)
+  }
+  def addRcv(n: Long): Unit = add(rcv, "rcv", n)
+  def addSend(n: Long): Unit = add(send, "send", n)
+  def addAck(n: Long): Unit = add(ack, "ack", n)
+  def addFail(n: Long): Unit = add(fail, "fail", n)
+  def addFailsink(n: Long): Unit = add(failsink, "failsink", n)
+  def incrError(): Unit = add(error, "error", 1)
+  def setRate(rowsPerSec: Double): Unit = {
+    lastRowsPerSec = rowsPerSec
+    sink.gauge("rate", rowsPerSec)
+  }
 
   def snapshot: Map[String, Long] = Map(
     "rcv" -> rcv.get, "send" -> send.get, "ack" -> ack.get,
@@ -91,11 +109,14 @@ final class FrizzleStream(
     // epoch-aware processor: takes (batch, epochId) and REPLACES `process`
     // when set — for stages that maintain cross-epoch state keyed by epoch
     // (e.g. SeenHashIndex.dedupEpoch's replay-safe incremental dedup)
-    epochProcess: Option[(DataFrame, Long) => DataFrame] = None) {
+    epochProcess: Option[(DataFrame, Long) => DataFrame] = None,
+    // stats egress (reference: statsd via stats.Increment, stats.go:5-7) —
+    // every BusStats delta is forwarded here; default keeps stats in-process
+    statsSink: StatsSink = NoopStatsSink) {
 
   import spark.implicits._
 
-  val stats = new BusStats
+  val stats = new BusStats(statsSink)
   private val eventQueue = new ConcurrentLinkedQueue[BusEvent]()
   // fail sinks replaced by a live withFailSink rewire: closed (once) in
   // flushAndClose, after the query has stopped — never mid-run
@@ -214,7 +235,7 @@ final class FrizzleStream(
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       // A13 rate monitor: processed rows/sec from engine progress.
       if (mine(e.progress.id)) {
-        stats.lastRowsPerSec = e.progress.processedRowsPerSecond
+        stats.setRate(e.progress.processedRowsPerSecond)
         maybeLogRate()
       }
     }
@@ -227,7 +248,7 @@ final class FrizzleStream(
           // or offset resolution, checkpoint corruption — has not been
           // counted anywhere yet, so count it here (the reference's
           // ctr.error is one per occurrence, options.go:95-99).
-          if (!batchErrorCounted) stats.error.incrementAndGet()
+          if (!batchErrorCounted) stats.incrError()
           eventQueue.add(BusEvent("error", ex))
         }
         eventQueue.add(BusEvent("info", s"query terminated ${e.id}"))
@@ -305,7 +326,7 @@ final class FrizzleStream(
       val total = statRow.getLong(0)
       val nFailed = statRow.getLong(1)
       val nSend = statRow.getLong(2)
-      stats.rcv.addAndGet(total)
+      stats.addRcv(total)
 
       // Destinations are topic names — a small bounded set by design, so
       // collecting one micro-batch's per-dest counts is driver-safe at any
@@ -340,10 +361,10 @@ final class FrizzleStream(
           else !col("failed") && col("dest").isin(unsafeSet: _*)
         val dead = routed.filter(col("failed") || unsafeCond)
           .select("id", "data", "ts").as[Msg]
-        stats.fail.addAndGet(nDead)
+        stats.addFail(nDead)
         epochFailCfg.sink.foreach { fs =>
           fs.write(dead, epochFailCfg.dest, batchId)
-          stats.failsink.addAndGet(nDead)
+          stats.addFailsink(nDead)
         }
       }
 
@@ -353,15 +374,15 @@ final class FrizzleStream(
         val out = epochSendTransforms.foldLeft(out0)((df, t) => t.onSend(df)).as[Msg]
         sink.write(out, dest, batchId)
       }
-      stats.send.addAndGet(nSend - nUnsafe)
+      stats.addSend(nSend - nUnsafe)
 
       // A6 ack: everything in a committed epoch that wasn't failed (or
       // dead-lettered for an unaddressable dest).
-      stats.ack.addAndGet(total - nDead)
+      stats.addAck(total - nDead)
     } catch {
       case e: Throwable =>
         batchErrorCounted = true
-        stats.error.incrementAndGet()
+        stats.incrError()
         eventQueue.add(BusEvent("error", s"batch $batchId: ${e.getMessage}"))
         throw e
     } finally routed.unpersist()

@@ -689,6 +689,95 @@ object TimeWindows {
           .orderBy(asc_nulls_first("event_type"))
       },
       None
+    ),
+    Q(
+      // Last-touch attribution: each purchase credits the user's most
+      // recent PRECEDING non-purchase event, but only within a 1-day
+      // lookback — older touches (or none) attribute to 'none'. One
+      // user-keyed window carries (type, time) of the last non-purchase
+      // row via ignore-nulls LAST over an unbounded-to-(-1) frame — a
+      // single shuffle on user_id, state bounded per user, no self-join.
+      // Ties on ts are broken by event_id so the carry is deterministic.
+      "q_event_attribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(asc_nulls_first("us"), asc_nulls_first("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val touchUs = when(col("event_type") =!= "purchase", col("us"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("src_type", last(touch, ignoreNulls = true).over(w))
+          .withColumn("src_us", last(touchUs, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("src_us").isNotNull &&
+              col("us") - col("src_us") <= 86400000000L, col("src_type"))
+              .otherwise(lit("none")).as("touch"))
+          .groupBy("touch").agg(count(lit(1)).as("n_purchases"))
+          .orderBy(asc_nulls_first("touch"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |c AS (
+             |  SELECT event_type,
+             |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+             |      THEN event_type END IGNORE NULLS) OVER w AS src_type,
+             |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+             |      THEN us END IGNORE NULLS) OVER w AS src_us,
+             |    us
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT CASE WHEN src_us IS NOT NULL AND us - src_us <= 86400000000
+             |         THEN src_type ELSE 'none' END AS touch,
+             |  COUNT(*) AS n_purchases
+             |FROM c WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY touch ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // User-journey census: each user's first 5 events (by time, event_id
+      // tiebreak) joined into a '>'-separated path, counted per distinct
+      // path. Scale shape: rank + truncate via one user-keyed window (the
+      // only corpus-sized shuffle), then the path agg groups ≤5 rows per
+      // user and the final count groups by path — output bounded by
+      // |event_type|^5, independent of corpus size. Order inside the path
+      // is pinned by sorting the collected (rn, type) structs, not by
+      // collect_list order (which is partition-dependent).
+      "q_event_paths",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(asc_nulls_first("us"), asc_nulls_first("event_id"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(desc_nulls_last("n_users"), asc_nulls_first("path"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |r AS (
+             |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+             |    PARTITION BY user_id
+             |    ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
+             |  FROM e),
+             |p AS (
+             |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY user_id)
+             |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+             |ORDER BY n_users DESC NULLS LAST, path ASC NULLS FIRST""".stripMargin)
     )
   )
 
