@@ -252,6 +252,50 @@ object Pipeline {
       None
     ),
     Q(
+      // Split-leakage census: exact-duplicate text groups whose copies
+      // straddle train/val/test — THE eval-integrity check a pipeline must
+      // run when dedup happens after (or independently of) split
+      // assignment, since a test doc with a train-side twin silently
+      // inflates eval scores. Composes [[splitAssign]] with the exact-dedup
+      // hash-groupBy tier: one content-hash shuffle (the 8-byte hash
+      // prefixes the group key so the exchange never sorts raw documents),
+      // per-split copy counts as conditional aggs in the SAME pass, then a
+      // groups-with->1-distinct-split filter — output is only the leaking
+      // groups, vanishingly small vs the corpus. The fuzzy tier of the same
+      // check is the LSH cross-frame machinery behind q_decontaminate_fuzzy
+      // pointed at the split frames instead of a benchmark.
+      "q_split_leakage",
+      (s, d) => {
+        splitAssign(tbl(s, d, "documents"))
+          .groupBy(xxhash64(col("text")).as("h"), col("text"))
+          .agg(
+            min(col("doc_id")).as("min_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("split")).as("n_splits"),
+            count(when(col("split") === "train", 1)).as("n_train"),
+            count(when(col("split") === "val", 1)).as("n_val"),
+            count(when(col("split") === "test", 1)).as("n_test"))
+          .filter(col("n_splits") > 1)
+          .select("min_id", "n_copies", "n_train", "n_val", "n_test")
+          .orderBy(asc_nulls_first("min_id"))
+      },
+      Some("""SELECT min_id, n_copies, n_train, n_val, n_test FROM (
+             |  SELECT MIN(doc_id) AS min_id, COUNT(*) AS n_copies,
+             |    COUNT(DISTINCT split) AS n_splits,
+             |    COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+             |    COUNT(*) FILTER (WHERE split = 'val') AS n_val,
+             |    COUNT(*) FILTER (WHERE split = 'test') AS n_test
+             |  FROM (
+             |    SELECT doc_id, text,
+             |      CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |           ELSE 'test' END AS split
+             |    FROM (SELECT doc_id, text,
+             |            doc_id % 1000003 * 2654435761 % 4294967296 % 100 AS b
+             |          FROM documents))
+             |  GROUP BY text)
+             |WHERE n_splits > 1 ORDER BY min_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Deterministic train/val/test split assignment — reproducible
       // splits are data versioning's bedrock: the SAME doc lands in the
       // SAME split on any cluster, any partitioning, any day. Bucket =

@@ -164,4 +164,36 @@ class PipelineSpec extends SparkSpec {
     assert(pruned == all -- dropped)
     assert(dropped.nonEmpty, "fixture planted no semantic near-dups — vacuous")
   }
+
+  test("q_split_leakage finds planted cross-split duplicates with exact per-split counts") {
+    // The sf0.01 driver fixture has ZERO exact-dup groups (the hash-oracle
+    // pass there is a 0-row match), so exercise the operator's non-empty
+    // path on DataGen's planted-dup fixture (sf0.04 plants pairs) and
+    // recheck every reported group against a driver-side recount.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    graft.tools.DataGen.generate(spark, 0.04, dir)
+    val out = SparkEntry.queries("q_split_leakage")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "planted duplicates must produce at least one cross-split group")
+    // driver-side recount: group the raw fixture by text, recompute splits
+    val byText = graft.ops.Pipeline.splitAssign(
+        graft.ops.tbl(spark, dir, "documents"))
+      .select($"doc_id", $"text", $"split")
+      .as[(Long, String, String)].collect()
+      .groupBy(_._2).values
+      .map { g =>
+        val splits = g.map(_._3)
+        (g.map(_._1).min, g.size.toLong,
+          splits.count(_ == "train").toLong,
+          splits.count(_ == "val").toLong,
+          splits.count(_ == "test").toLong,
+          splits.distinct.size)
+      }
+      .filter(_._6 > 1)
+      .map { case (id, n, tr, va, te, _) => (id, n, tr, va, te) }
+      .toSeq.sortBy(_._1)
+    assert(out.toSeq == byText,
+      "reported leakage groups must equal the driver-side recount")
+  }
 }

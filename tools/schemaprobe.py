@@ -8,9 +8,20 @@ Usage: python3 tools/schemaprobe.py [sf_dir ...]   (default: all three SFs)
 
 Exit 1 on any drift so it can gate a round-start checklist.
 """
+import glob
+import os
 import sys
 
 import pyarrow.parquet as pq
+
+
+def read_schema(path):
+    # driver tables are single files; DataGen writes Spark-style directories
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(f"{path}/part-*.parquet")) or \
+            sorted(glob.glob(f"{path}/*.parquet"))
+        return pq.read_schema(parts[0])
+    return pq.read_schema(path)
 
 # expectation per table: {column: arrow-type-string}. Only columns whose
 # physical encoding the engine's loaders branch on are pinned — a benign
@@ -31,7 +42,7 @@ def main(dirs):
         print(f"== {d}")
         for t in TABLES:
             try:
-                sch = pq.read_schema(f"{d}/{t}.parquet")
+                sch = read_schema(f"{d}/{t}.parquet")
             except Exception as e:
                 print(f"  {t}: UNREADABLE ({e})")
                 drift += 1
