@@ -452,6 +452,53 @@ object TextOps {
              |ORDER BY contained_id ASC NULLS FIRST, container_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Corpus-novelty scoring (r15): per doc, the fraction of its distinct
+      // 3-gram shingles whose GLOBAL first appearance (min doc_id) is this
+      // doc — low novelty flags documents that mostly restate earlier
+      // corpus content (near-copies, boilerplate assemblies, quote farms),
+      // the memorization-risk signal curation pipelines rank on. Reuses the
+      // canonical shingle definition/hash (Dedup.shingleHashStream — the
+      // same shingles the minhash/jaccard/decontamination tiers see, so a
+      // doc scored non-novel HERE is the same doc those tiers would
+      // candidate). Scale shape: ONE text scan, then three narrow
+      // shuffles of ≤16-byte rows — distinct (doc, shingle-hash); a
+      // min-over-window partitioned by the hash (NOT a groupBy+join-back:
+      // the first-appearance table is corpus-sized — one row per distinct
+      // shingle — so the join-back formulation either broadcasts something
+      // unbroadcastable at 100 TB or re-shuffles, and re-scans the text to
+      // build its second frame); then the per-doc count agg, map-side
+      // combined. The oracle groups shingle STRINGS while Spark groups the
+      // 64-bit hash — the gate proving collision-freedom at test scale
+      // (same convention as q_dedup_keep_best).
+      "q_ngram_novelty",
+      (s, d) => {
+        val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("h1")
+        Dedup.shingleHashStream(tbl(s, d, "documents")).distinct()
+          .withColumn("first_id", min(col("doc_id")).over(byShingle))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("first_id") === col("doc_id"), 1)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+              .as("novelty"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |f AS (SELECT token, MIN(doc_id) AS first_id FROM sh GROUP BY token)
+             |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             |  COUNT(*) FILTER (WHERE first_id = sh.doc_id) AS n_novel,
+             |  CAST(COUNT(*) FILTER (WHERE first_id = sh.doc_id) AS DOUBLE)
+             |    / COUNT(*) AS novelty
+             |FROM sh JOIN f USING (token) GROUP BY sh.doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Bigram (2-token shingle) frequency over the corpus — the n-gram
       // analysis primitive. Same generator→agg shape as q_explode_tokens;
       // shingle construction is a per-row transform, counting is a

@@ -176,4 +176,27 @@ class TextEdgeSpec extends SparkSpec {
     assert(!sym.contains((1L, 2L)),
       "planted pair must be invisible to symmetric Jaccard for the test to mean anything")
   }
+
+  test("q_ngram_novelty: every non-first copy in an exact-dup group scores 0 novelty") {
+    // First-appearance credit goes to the min doc_id of each shingle, so a
+    // doc whose text is an exact copy of an earlier doc can have NO novel
+    // shingles — the planted-dup generator fixture provides the groups.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("novelty").toString
+    graft.tools.DataGen.generate(spark, 0.04, dir)
+    val novelty = SparkEntry.queries("q_ngram_novelty")(spark, dir)
+      .select("doc_id", "n_novel").as[(Long, Long)].collect().toMap
+    val dupGroups = graft.ops.tbl(spark, dir, "documents")
+      .groupBy("text")
+      .agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
+      .filter(org.apache.spark.sql.functions.size($"ids") > 1)
+      .select("ids").as[Seq[Long]].collect()
+    assert(dupGroups.nonEmpty, "fixture planted no exact-dup groups — vacuous")
+    dupGroups.foreach { ids =>
+      ids.sorted.tail.foreach { id =>
+        assert(novelty(id) == 0L,
+          s"doc $id duplicates doc ${ids.min} but reports ${novelty(id)} novel shingles")
+      }
+    }
+  }
 }
