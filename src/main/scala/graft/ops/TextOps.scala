@@ -531,6 +531,68 @@ object TextOps {
              |ORDER BY cnt DESC NULLS LAST, bg ASC NULLS FIRST LIMIT 30""".stripMargin)
     ),
     Q(
+      // Collocation mining (r15): top adjacent-token pairs by LIFT —
+      // p(xy) / (p(x)·p(y)) = (c_xy·N²) / (M·c_x·c_y) — the classic
+      // PMI-family collocation extractor (raw bigram frequency just
+      // returns function-word pairs; lift surfaces pairs that co-occur
+      // far above chance). Cross-engine determinism: all counts are exact
+      // integers, each is cast to DOUBLE once (correctly rounded), and
+      // the lift is computed with ONE fixed association mirrored in the
+      // oracle — identical IEEE ops in identical order are bit-identical,
+      // so the DESC ranking hashes. c_xy ≥ 5 noise floor. Scale shape:
+      // two corpus scans (token agg, pair agg — both map-side combined);
+      // the unigram side joins on token (AQE broadcasts a small vocab,
+      // shuffles a huge one — nothing here REQUIRES broadcast); N and M
+      // are 1-row aggregates, bounded broadcasts by construction.
+      "q_collocations",
+      (s, d) => {
+        val toks = col("toks")
+        val docsT = tbl(s, d, "documents").select(split(col("text"), " ").as("toks"))
+        val uni = docsT.select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).cast("long").as("n_tok"))
+        val pairs = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))
+        val bi = docsT.select(explode(pairs).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        val mTok = bi.agg(sum(col("cxy")).cast("long").as("m_tok"))
+        bi.filter(col("cxy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+          .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(mTok))
+          .select(col("x"), col("y"), col("cxy"),
+            (col("cxy").cast("double") * col("n_tok").cast("double")
+              * col("n_tok").cast("double")
+              / (col("m_tok").cast("double") * col("cx").cast("double")
+                * col("cy").cast("double"))).as("lift"))
+          .orderBy(desc_nulls_last("lift"), asc_nulls_first("x"), asc_nulls_first("y"))
+          .limit(30)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+             |uc AS (SELECT tok, COUNT(*) AS c
+             |       FROM (SELECT unnest(l) AS tok FROM t) GROUP BY tok),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc),
+             |bc AS (
+             |  SELECT p['x'] AS x, p['y'] AS y, COUNT(*) AS cxy FROM (
+             |    SELECT unnest([{'x': l[i], 'y': l[i+1]} FOR i IN range(1, len(l))]) AS p
+             |    FROM t)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT CAST(SUM(cxy) AS BIGINT) AS m_tok FROM bc)
+             |SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+             |  CAST(cxy AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+             |    / (CAST(m_tok AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))
+             |    AS lift
+             |FROM bc
+             |JOIN uc ux ON bc.x = ux.tok
+             |JOIN uc uy ON bc.y = uy.tok
+             |CROSS JOIN n CROSS JOIN m
+             |WHERE cxy >= 5
+             |ORDER BY lift DESC NULLS LAST, x ASC NULLS FIRST, y ASC NULLS FIRST
+             |LIMIT 30""".stripMargin)
+    ),
+    Q(
       // Canonical text normalization — the cleaning primitive every corpus
       // pipeline runs before dedup/tokenization: lowercase, strip
       // non-alphanumerics, collapse whitespace runs, trim. Pure narrow
