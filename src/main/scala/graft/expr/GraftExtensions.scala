@@ -39,6 +39,11 @@ object GraftExtensions {
     RollingMinHash(children.head, window)
   }
 
+  private def charSquareSumBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "char_square_sum takes exactly 1 argument")
+    CharSquareSum(children.head)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
@@ -46,7 +51,10 @@ object GraftExtensions {
       vectorDotBuilder),
     (FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
-      rollingMinHashBuilder))
+      rollingMinHashBuilder),
+    (FunctionIdentifier("char_square_sum"),
+      new ExpressionInfo(classOf[CharSquareSum].getName, "char_square_sum"),
+      charSquareSumBuilder))
 
   /** Register the functions on a live session's registry. */
   def register(spark: SparkSession): Unit =

@@ -25,6 +25,36 @@ object Pipeline {
   // public, so the runnable example (examples.TrainingPipelineExample)
   // demonstrates the SAME stages the declared queries verify, not a copy.
 
+  /** Distributed prefix-sum shard assignment: given a (doc_id, n_tok)
+    * frame, appends `pre` (tokens strictly before this doc in doc_id
+    * order) and `shard` (= pre div budget) WITHOUT a global-order window
+    * (which would funnel the corpus through one partition). Two-level
+    * scan: per-block totals (block = doc_id div blockSz, a keyed agg) →
+    * prefix offsets over the bounded BLOCK frame (corpus/blockSz rows;
+    * tune blockSz so this stays small at scale) → broadcast back, finish
+    * with a block-keyed window. (blk asc, doc_id asc) ≡ doc_id asc, so
+    * the result is bit-identical to the naive global running sum —
+    * PropertySpec pins the equivalence on ragged, gappy, shuffled ids.
+    */
+  def shardAssign(docs: DataFrame, budget: Long, blockSz: Long): DataFrame = {
+    val blocked = docs
+      .withColumn("blk", expr(s"doc_id div $blockSz"))
+      .localCheckpoint(eager = false)
+    val wBlk = Window.orderBy(asc_nulls_first("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy("blk").agg(sum(col("n_tok")).as("blk_tok"))
+      .withColumn("off", coalesce(sum(col("blk_tok")).over(wBlk), lit(0L)))
+      .select("blk", "off")
+    val wIn = Window.partitionBy("blk")
+      .orderBy(asc_nulls_first("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(broadcast(offs), "blk")
+      .withColumn("pre",
+        col("off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .withColumn("shard", expr(s"pre div $budget"))
+      .drop("blk")
+  }
+
   def qualityGate(df: DataFrame): DataFrame = {
     val nTokens = size(split(col("text"), " "))
     df.filter(nTokens.between(20, 80))
@@ -446,6 +476,57 @@ object Pipeline {
              |WHERE doc_id % 1000003 * 2654435761 % 4294967296 % 1000000
              |  < CAST(LEAST(1000000.0, GREATEST(0.0, n_chars * 1500.0)) AS BIGINT)
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Token-budget shard assignment: docs in doc_id order are packed
+      // into ~20k-token output shards (the sharding step before training-
+      // context packing — shards feed one writer/file each). shard =
+      // floor(running token offset BEFORE the doc / budget), i.e. a doc
+      // lands in the shard its first token falls in.
+      //
+      // Scale shape: a global running sum is the textbook scale-killer
+      // (one window over a total order = ONE partition holding the
+      // corpus). This runs the distributed two-level scan instead —
+      // the same prefix-sum decomposition GPUs/MPI use:
+      //   1. per-block token totals (block = doc_id div 100; a keyed agg),
+      //   2. prefix offsets over the BLOCK frame (corpus/100 rows — the
+      //      single-partition window touches only this bounded frame; at
+      //      real scale the block size is tuned so this stays millions of
+      //      rows, not billions),
+      //   3. broadcast the offsets back and finish with a block-keyed
+      //      window — (blk asc, doc_id asc) ≡ doc_id asc, so the result is
+      //      IDENTICAL to the naive global window (PropertySpec pins this
+      //      equivalence; the oracle runs the naive form).
+      // All exact integer arithmetic; `div` floors.
+      "q_shard_assign",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        shardAssign(docs, budget = 20000L, blockSz = 100L)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tok"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(asc_nulls_first("shard"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_tok,
+             |    CAST(COALESCE(SUM(n_tok) OVER (
+             |      ORDER BY doc_id ASC NULLS FIRST
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS pre
+             |  FROM t)
+             |SELECT CAST(pre // 20000 AS BIGINT) AS shard,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+             |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM c GROUP BY 1 ORDER BY shard ASC NULLS FIRST""".stripMargin)
     )
   )
 }

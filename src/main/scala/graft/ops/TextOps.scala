@@ -952,6 +952,169 @@ object TextOps {
              |  CAST(len(${stripSqlExpr("html")}) AS BIGINT) AS clean_chars
              |FROM h
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Character-diversity quality score: Simpson/Gini index over the
+      // byte distribution of each document (1 − Σc²/n²) — near-zero flags
+      // single-character spam, high values flag natural text; the classic
+      // cheap gibberish gate beside word-level rep_ratio
+      // (q_quality_repetition). The numerator Σc² comes from the
+      // CharSquareSum codegen expression — a register loop per row, one
+      // whole-stage-codegen span, NO shuffle (the explode+double-groupBy
+      // alternative the oracle runs shuffles |text| rows per doc — fine
+      // for DuckDB at sf0.01, wrong at 100 TB). Exact integer numerator
+      // and denominator; ONE final IEEE division (then an exact 1−x), so
+      // the doubles hash across engines. Byte semantics == char semantics
+      // on the ASCII fixture (documented in CharSquareSum).
+      "q_char_diversity",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            graft.expr.CharSquareSum(col("text")).as("sq"))
+          .select(col("doc_id"), col("n_chars"),
+            (lit(1.0) - col("sq").cast("double") /
+              (col("n_chars") * col("n_chars")).cast("double")).as("char_gini"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents WHERE len(text) > 0),
+             |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+             |  1.0 - CAST(SUM(k * k) AS DOUBLE) /
+             |    CAST(CAST(SUM(k) AS BIGINT) * CAST(SUM(k) AS BIGINT) AS DOUBLE)
+             |    AS char_gini
+             |FROM cc GROUP BY doc_id
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Boilerplate-span census: the top 4-token spans by distinct-doc
+      // frequency — the denylist a template/boilerplate-removal stage
+      // broadcasts (C4/CCNet-style frequent-line pruning; the fixture has
+      // no newlines, so fixed-k token spans stand in for lines). Spans are
+      // generated with the same 1-based slice convention as
+      // q_substring_dedup; the census groups by span TEXT (bounded k·word
+      // bytes per key, map-side combined — same call as q_collocations'
+      // token grouping; the distinct-doc count shuffles (span, doc_id)
+      // pairs once). Total tiebreak (n_docs, n_occ, span) pins the
+      // LIMIT 20 cut on both engines.
+      "q_boilerplate_spans",
+      (s, d) => {
+        val k = 4
+        val toks = split(col("text"), " ")
+        val spanArr = when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => array_join(slice(toks, i, lit(k)), " ")))
+        tbl(s, d, "documents")
+          .select(col("doc_id"), explode(spanArr).as("span"))
+          .groupBy("span")
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(desc_nulls_last("n_docs"), desc_nulls_last("n_occ"),
+            asc_nulls_first("span"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sp AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(l) >= 4
+             |    THEN [array_to_string(l[i:i+3], ' ') FOR i IN range(1, len(l) - 2)]
+             |    ELSE [] END) AS span
+             |  FROM t)
+             |SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_occ
+             |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+             |ORDER BY n_docs DESC NULLS LAST, n_occ DESC NULLS LAST,
+             |  span ASC NULLS FIRST
+             |LIMIT 20""".stripMargin)
+    ),
+    Q(
+      // BM25 retrieval scoring for a fixed 3-term query — the IR ranking
+      // step behind retrieval-augmented data curation. IDF is the ODDS
+      // form ((N−df+0.5)/(df+0.5), no log): libm log diverges in the last
+      // bits across engines and the repo convention (see q_tfidf) is to
+      // keep rankings log-free; the odds form is order-isomorphic to the
+      // log form per term. Per-term scores land in FIXED pivot columns and
+      // the total is the FIXED association ((s_spark+s_vector)+s_dup) —
+      // never a SUM over rows, whose accumulation order is partition-
+      // dependent. Every input to each IEEE op is either an exact integer
+      // cast or the result of the same op sequence on both engines, so
+      // scores are bit-identical and the DESC ranking hashes. Scale: df
+      // and corpus stats are 3-row/1-row broadcasts; the isin filter
+      // prunes the explode before the only (doc_id-keyed) shuffle.
+      "q_bm25",
+      (s, d) => {
+        val terms = Seq("spark", "vector", "dup")
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("dl"))
+          .localCheckpoint(eager = false)
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast("long").as("sum_dl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nD = col("n_docs").cast("double")
+        val dfD = col("df").cast("double")
+        val idf = ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5))
+        val avgdl = col("sum_dl").cast("double") / nD
+        val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / avgdl))
+        val sat = (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + norm)
+        def s4(t: String) = coalesce(
+          max(when(col("tok") === t, col("score_t"))), lit(0.0)).as(s"s_$t")
+        tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tok"), (idf * sat).as("score_t"))
+          .groupBy("doc_id")
+          .agg(s4("spark"), s4("vector"), s4("dup"))
+          .select(col("doc_id"), col("s_spark"), col("s_vector"), col("s_dup"),
+            ((col("s_spark") + col("s_vector")) + col("s_dup")).as("score"))
+          .orderBy(desc_nulls_last("score"), asc_nulls_first("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |dd AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM d),
+             |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+             |       FROM dd),
+             |tf AS (
+             |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(l) AS tok FROM dd)
+             |  WHERE tok IN ('spark', 'vector', 'dup')
+             |  GROUP BY doc_id, dl, tok),
+             |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    (((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+             |      / (CAST(df.df AS DOUBLE) + 0.5))
+             |    * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             |      / (CAST(tf.tf AS DOUBLE)
+             |        + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+             |          + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
+             |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             |    AS score_t
+             |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN st),
+             |p AS (
+             |  SELECT doc_id,
+             |    COALESCE(MAX(CASE WHEN tok = 'spark' THEN score_t END), 0.0)
+             |      AS s_spark,
+             |    COALESCE(MAX(CASE WHEN tok = 'vector' THEN score_t END), 0.0)
+             |      AS s_vector,
+             |    COALESCE(MAX(CASE WHEN tok = 'dup' THEN score_t END), 0.0)
+             |      AS s_dup
+             |  FROM sc GROUP BY doc_id)
+             |SELECT doc_id, s_spark, s_vector, s_dup,
+             |  ((s_spark + s_vector) + s_dup) AS score
+             |FROM p
+             |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
+             |LIMIT 20""".stripMargin)
     )
   )
 

@@ -778,6 +778,83 @@ object TimeWindows {
              |  FROM r WHERE rn <= 5 GROUP BY user_id)
              |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
              |ORDER BY n_users DESC NULLS LAST, path ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Time-to-conversion distribution: per user, the latency from FIRST
+      // view to FIRST purchase (users with both, purchase not earlier),
+      // bucketed by hour. One user-keyed conditional-min aggregation (the
+      // only corpus-sized shuffle, partial-agg'd map-side) then a
+      // bucket-keyed rollup whose output is bounded by the time horizon,
+      // not the corpus. All exact integer µs arithmetic; `div` floors.
+      "q_time_to_conversion",
+      (s, d) => {
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("us"))).as("fv"),
+            min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+          .filter(col("fv").isNotNull && col("fp").isNotNull &&
+            col("fp") >= col("fv"))
+          .select(expr("(fp - fv) div 3600000000").as("hour_bucket"))
+          .groupBy("hour_bucket").agg(count(lit(1)).as("n_users"))
+          .orderBy(asc_nulls_first("hour_bucket"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN us END) AS fv,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS fp
+             |  FROM e GROUP BY user_id)
+             |SELECT CAST((fp - fv) // 3600000000 AS BIGINT) AS hour_bucket,
+             |  COUNT(*) AS n_users
+             |FROM f
+             |WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+             |GROUP BY 1 ORDER BY hour_bucket ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Event-type Markov transition matrix: per user, consecutive
+      // (src → dst) event pairs by time (event_id tiebreak), with exact
+      // counts and the per-src transition probability as ONE final IEEE
+      // division over exact integers. One user-keyed window (the only
+      // corpus-sized shuffle); the (src, dst) rollup and the per-src
+      // totals window both run on a frame bounded by |event_type|², not
+      // the corpus.
+      "q_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(asc_nulls_first("us"), asc_nulls_first("event_id"))
+        val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wSrc).cast("double"))
+          .orderBy(asc_nulls_first("src"), asc_nulls_first("dst"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |t AS (
+             |  SELECT event_type AS src, LEAD(event_type, 1) OVER (
+             |    PARTITION BY user_id
+             |    ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS dst
+             |  FROM e),
+             |c AS (SELECT src, dst, COUNT(*) AS n FROM t
+             |      WHERE dst IS NOT NULL GROUP BY src, dst)
+             |SELECT src, dst, n,
+             |  CAST(n AS DOUBLE) /
+             |    CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE)
+             |    AS p
+             |FROM c ORDER BY src ASC NULLS FIRST, dst ASC NULLS FIRST""".stripMargin)
     )
   )
 
