@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec
     "q_sim_quantized_topk", // ≤5 packed probe rows broadcast (non-equi ≠ join)
     "q_kmeans_assign", // ≤8 packed centroid rows broadcast (keyless cross)
     "q_collocations", // two 1-row total aggregates (N, M) broadcast
+    "q_bm25", // 1-row corpus-stats aggregate broadcast (keyless cross)
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
@@ -341,5 +342,62 @@ class PlanAuditSpec extends SparkSpec
     assert(scanSchemas.nonEmpty && scanSchemas.forall(!_.contains("embedding")),
       s"no parquet scan in the declared plan may read the vector column " +
         s"(the CC label frame is checkpointed; only ids flow):\n$plan")
+  }
+
+  test("q_char_diversity is shuffle-free below the declared sort (native expression, no explode)") {
+    // the whole point of CharSquareSum: the per-doc byte census runs as a
+    // register loop inside one codegen span — an Expand/Generate or a hash
+    // shuffle here means someone replaced it with the explode shape
+    val plan = query("q_char_diversity").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"char diversity must not shuffle on a hash key:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"char diversity must not explode characters:\n$plan")
+    assert(plan.contains("char_square_sum"),
+      s"the native expression vanished from the plan:\n$plan")
+  }
+
+  test("q_bm25: stats/df reach the scoring as broadcasts; tf agg partial below its shuffle") {
+    val plan = query("q_bm25").queryExecution.executedPlan.toString
+    assert("Broadcast(Hash|NestedLoop)Join".r.findAllIn(plan).size == 2,
+      s"df join and corpus-stats cross must both broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffled join may touch the token stream:\n$plan")
+    val belowHashExchange = plan.split("Exchange hashpartitioning").last
+    assert(belowHashExchange.contains("HashAggregate"),
+      s"tf aggregation must partial-aggregate map-side:\n$plan")
+  }
+
+  test("q_shard_assign plans the decomposed prefix-sum, not a global-order window over the corpus") {
+    // scale claim: the ONLY single-partition exchange feeds the bounded
+    // per-block frame (input = a hash-aggregated groupBy(blk)), and the
+    // offsets rejoin the corpus as a BROADCAST — a plan where the corpus
+    // itself funnels through Exchange SinglePartition is the naive shape
+    val plan = query("q_shard_assign").queryExecution.executedPlan.toString
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      s"exactly one single-partition exchange (the block frame):\n$plan")
+    val belowSingle = plan.split("Exchange SinglePartition").last
+    assert(belowSingle.contains("HashAggregate"),
+      s"the single-partition window must consume the AGGREGATED block " +
+        s"frame, not raw docs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block offsets must rejoin the docs as a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the offsets join must not shuffle the doc frame:\n$plan")
+  }
+
+  // One corpus-sized shuffle each (the user_id rollup/window); every
+  // further hash exchange operates on a bounded frame (hour buckets /
+  // the |event_type|² transition matrix). The budget pins that count —
+  // a join or an extra corpus shuffle fails here.
+  Seq("q_time_to_conversion" -> 2, "q_markov_transitions" -> 3).foreach {
+    case (name, maxHashExchanges) =>
+      test(s"$name shuffles once at corpus size, joins nothing") {
+        val plan = query(name).queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).size <= maxHashExchanges,
+          s"$name exceeded its exchange budget of $maxHashExchanges:\n$plan")
+        assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+          s"$name must not plan any join:\n$plan")
+      }
   }
 }
