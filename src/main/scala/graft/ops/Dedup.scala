@@ -723,6 +723,34 @@ object Dedup {
              |  FROM b)
              |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Per-source duplication census (r15): exact-dup ratio by source —
+      // the triage report that tells a curation run WHERE its duplication
+      // lives before any dedup executes. Spark counts distinct 8-byte
+      // content hashes (the family's wire convention: strings never
+      // shuffle), the oracle counts distinct texts — equal modulo a
+      // 64-bit collision (expectation ≪ 1 through billions of docs, same
+      // caveat as the shingle family). Exact integer numerators, ONE
+      // final IEEE division.
+      "q_dup_ratio_by_source",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("source"), xxhash64(col("text")).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("h")).as("n_uniq"))
+          .select(col("source"), col("n_docs"), col("n_uniq"),
+            (lit(1.0) - col("n_uniq").cast("double") /
+              col("n_docs").cast("double")).as("dup_ratio"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq,
+             |  1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+             |FROM documents GROUP BY source
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -527,6 +527,25 @@ object Pipeline {
              |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
              |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
              |FROM c GROUP BY 1 ORDER BY shard ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // k-anonymity census (r15): per (lang, source) stratum size with a
+      // k<50 risk flag — the release-governance audit run before
+      // publishing a corpus slice (small strata re-identify their
+      // contributors; the same census drives stratified-sample floor
+      // checks). One map-side-combined rollup on a bounded key space.
+      "q_kanon_census",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("risky", col("n_docs") < 50)
+          .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+             |  COUNT(*) < 50 AS risky
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -1115,6 +1115,48 @@ object TextOps {
              |FROM p
              |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS FIRST
              |LIMIT 20""".stripMargin)
+    ),
+    Q(
+      // Flesch-style readability score (r15): reading ease from words,
+      // vowel-group syllable proxy ([aeiouy]+ runs — the standard
+      // dictionary-free estimate), and 16-token pseudo-sentences (the
+      // fixture has no sentence punctuation; a fixed window is the
+      // deterministic stand-in). All three counts are exact integers in
+      // the shared Java-regex/RE2 dialect; the score combines TWO
+      // correctly-rounded divisions with one FIXED association mirrored
+      // in the oracle ⇒ bit-identical doubles. Narrow codegen'd
+      // projection — scan-speed at any corpus size.
+      "q_readability",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+              .cast("long").as("n_syll"))
+          .withColumn("sents", expr("(n_words + 15) div 16"))
+          .select(col("doc_id"), col("n_words"), col("n_syll"), col("sents"),
+            ((lit(206.835) - (lit(1.015) *
+              (col("n_words").cast("double") / col("sents").cast("double"))))
+              - (lit(84.6) *
+                (col("n_syll").cast("double") / col("n_words").cast("double"))))
+              .as("flesch"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+             |      AS n_syll
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_words, n_syll,
+             |        CAST((n_words + 15) // 16 AS BIGINT) AS sents FROM t)
+             |SELECT doc_id, n_words, n_syll, sents,
+             |  (CAST(206.835 AS DOUBLE) - (CAST(1.015 AS DOUBLE) *
+             |    (CAST(n_words AS DOUBLE) / CAST(sents AS DOUBLE))))
+             |  - (CAST(84.6 AS DOUBLE) *
+             |    (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))) AS flesch
+             |FROM c
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec
     "q_sim_cosine_topk", "q_embed_neardup", "q_sim_cosine_ivf", // fixed probe set
     "q_sim_quantized_topk", // ≤5 packed probe rows broadcast (non-equi ≠ join)
     "q_kmeans_assign", // ≤8 packed centroid rows broadcast (keyless cross)
+    "q_kmeans_update", // same ≤8-centroid broadcast inside the assign step
     "q_collocations", // two 1-row total aggregates (N, M) broadcast
     "q_bm25", // 1-row corpus-stats aggregate broadcast (keyless cross)
     "q_media_features_topk",

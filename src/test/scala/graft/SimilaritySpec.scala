@@ -394,4 +394,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(packed == perDim)
   }
+
+  test("a full Lloyd round (assign → update → reassign) improves inertia within the floor-mean bound") {
+    import graft.ops.Similarity
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val codes = Similarity.quantizePacked(emb, Similarity.quantizeStats(emb))
+      .localCheckpoint()
+    val a0 = Similarity.kmeansAssignFromCodes(codes, 8).localCheckpoint()
+    val inertia0 = a0.agg(sum(col("qdist"))).head.getLong(0)
+    val upd = Similarity.kmeansUpdatePacked(a0, Similarity.kmeansCentroids(codes, 8))
+    val a1 = Similarity.assignToCentroids(codes,
+      upd.select(col("cent_id"), col("new_codes").as("ccodes")))
+    val inertia1 = a1.agg(sum(col("qdist"))).head.getLong(0)
+    val n = a0.count()
+    // per cell, the floored mean is within 1 of the true per-dim mean, so
+    // same-assignment inertia grows by at most n·dims before reassignment
+    // can only shrink it — the exact Lloyd-monotonicity bound under
+    // integer centroids (in practice the round improves sharply)
+    assert(inertia1 <= inertia0 + n * 64L,
+      s"Lloyd round worsened inertia beyond the floor bound: $inertia0 -> $inertia1")
+    assert(inertia1 < inertia0,
+      s"on the fixture the round must strictly improve: $inertia0 -> $inertia1")
+    // every vector stays assigned; cells remain the declared 8 or fewer
+    assert(a1.count() == n)
+    assert(a1.select("cent_id").distinct().count() <= 8L)
+  }
 }
