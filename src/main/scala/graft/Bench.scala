@@ -33,10 +33,15 @@ object Bench {
     // …and q_kmeans_assign (r15): the packed-quantization + zip_with-fold
     // codegen shape shared with q_sim_quantized_topk — neither was in the
     // warm list, so whichever ran first absorbed that shape's JIT.
+    // …and q_kmeans_update (r15 batch 3): supersets the assign shapes and
+    // adds the posexplode → combine → sort_array(collect_list) rebuild
+    // (measured ~7 s of first-run JIT at sf0.1 against ~1 s warm plan
+    // cost — by far the largest cold/warm gap in the inventory).
     Seq("q_sort_limit", "q_agg_group", "q_agg_distinct", "q_window_rank",
         "q_broadcast_join", "q_case_null", "q_explode_tokens",
         "q_json_extract", "q_sim_cosine_lsh", "q_doc_fingerprint",
-        "q_embed_clusters", "q_media_decode", "q_kmeans_assign").foreach { n =>
+        "q_embed_clusters", "q_media_decode", "q_kmeans_assign",
+        "q_kmeans_update").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
