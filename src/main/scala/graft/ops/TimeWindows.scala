@@ -145,10 +145,19 @@ object TimeWindows {
       // bounded, because sketch interpolation is engine-specific).
       // Rank math is integer-only: ⌈n/2⌉ = (n+1) div 2,
       // ⌈19n/20⌉ = (19n+19) div 20 — mirrored with // in the SQL.
-      // Scale: one shuffle+sort per event_type partition (Spark's window
-      // sort); exact quantiles inherently rank the data. At 100 TB the
-      // constant-state GK sketch ([[percentileSummary]]) is the default
-      // path and this exact variant is the audit tool.
+      // Scale (r15 rewrite): DISTINCT-VALUE COMPRESSION, the
+      // q_group_quantiles shape — the corpus-sized work is a map-side-
+      // combinable (event_type, value) count (measured 10 M rows → 280 k
+      // distinct pairs at sf10), and the rank window walks distinct
+      // values only, so the per-group single-task sort that made the
+      // naive row_number form go 31.6× at the 100× point (PROFILE_sf10)
+      // now touches ~56 k rows per group instead of 2 M. The value at
+      // rank k is the distinct value whose cumulative count first reaches
+      // k (cum ≥ k ∧ cum − cnt < k) — identical output to ranking raw
+      // rows, which is exactly what the UNCHANGED raw-row oracle SQL
+      // cross-checks. At 100 TB the constant-state GK sketch
+      // ([[percentileSummary]]) is the default path and this exact
+      // variant is the audit tool.
       "q_percentiles",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -156,14 +165,16 @@ object TimeWindows {
         val cw = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type")
         tbl(s, d, "events")
-          .select(col("event_type"), col("value"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(cw))
+          .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(cw))
           .groupBy("event_type")
           .agg(
-            max(when(expr("rn = (n + 1) div 2"), col("value"))).as("med_exact"),
-            max(when(expr("rn = (19 * n + 19) div 20"), col("value"))).as("p95_exact"),
-            count(lit(1)).as("cnt"))
+            max(when(expr("cum >= (n + 1) div 2 AND cum - cnt < (n + 1) div 2"),
+              col("value"))).as("med_exact"),
+            max(when(expr("cum >= (19 * n + 19) div 20 AND " +
+              "cum - cnt < (19 * n + 19) div 20"), col("value"))).as("p95_exact"),
+            sum(col("cnt")).cast("long").as("cnt"))
           .orderBy(asc_nulls_first("event_type"))
       },
       Some("""WITH s AS (
