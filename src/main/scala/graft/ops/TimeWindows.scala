@@ -422,35 +422,48 @@ object TimeWindows {
       // corpus never shuffles on a new key.
       "q_robust_outliers",
       (s, d) => {
-        val e = tbl(s, d, "events")
+        // r15 rewrite — DISTINCT-VALUE COMPRESSION end to end (the
+        // q_percentiles lesson from PROFILE_sf10): the corpus-sized work
+        // is ONE map-side-combinable (event_type, xq) count; both rank
+        // windows (median, MAD) and the final census walk compressed
+        // frames weighted by cnt, never raw rows — identical output, and
+        // the UNCHANGED raw-row oracle cross-checks the equivalence. The
+        // value at rank k is the distinct value whose cumulative count
+        // first reaches k.
+        val c = tbl(s, d, "events")
           .select(col("event_type"),
             floor(col("value") * lit(10000.0)).as("xq"))
+          .groupBy("event_type", "xq").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type").orderBy(asc_nulls_first("xq"))
         val wa = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type").orderBy(asc_nulls_first("ad"))
         val cw = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type")
-        val med = e.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(cw))
-          .filter(expr("rn = (n + 1) div 2"))
+        val med = c
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(cw))
+          .filter(expr("cum >= (n + 1) div 2 AND cum - cnt < (n + 1) div 2"))
           .select(col("event_type"), col("xq").as("med_q"))
-        val withAd = e.join(broadcast(med), "event_type")
+        val adC = c.join(broadcast(med), "event_type")
           .withColumn("ad", abs(col("xq") - col("med_q")))
-        val mad = withAd
-          .withColumn("rn", row_number().over(wa))
-          .withColumn("n", count(lit(1)).over(cw))
-          .filter(expr("rn = (n + 1) div 2"))
+          .groupBy("event_type", "ad").agg(sum(col("cnt")).as("cnt"))
+        val mad = adC
+          .withColumn("cum", sum(col("cnt")).over(wa))
+          .withColumn("n", sum(col("cnt")).over(cw))
+          .filter(expr("cum >= (n + 1) div 2 AND cum - cnt < (n + 1) div 2"))
           .select(col("event_type"), col("ad").as("mad_q"))
-        withAd.join(broadcast(mad), "event_type")
+        c.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
           .withColumn("amz", abs(lit(0.6745) *
             (col("xq") - col("med_q")).cast("double") /
             col("mad_q").cast("double")))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("cnt"),
+          .agg(sum(col("cnt")).cast("long").as("cnt"),
             max(col("med_q")).as("med_q"),
             max(col("mad_q")).as("mad_q"),
-            sum(when(col("amz") > lit(3.5), 1L).otherwise(0L))
+            sum(when(col("amz") > lit(3.5), col("cnt")).otherwise(0L))
               .cast("long").as("n_outliers"),
             max(col("amz")).as("max_abs_mz"))
           .orderBy(asc_nulls_first("event_type"))
