@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Times the LIBRARY path of the LSH/embedding family — the auto-sized
+  * nBits form real callers run — at a given scale factor. The DECLARED
+  * keys (q_embed_neardup_all etc.) pin nBits=4 so their statically
+  * rendered oracle SQL stays hash-exact; that audit form's bucket
+  * occupancy explodes quadratically once the corpus outgrows the pinned
+  * bucket count (16 buckets/table at 200 k vectors ≈ 12.5 k-row buckets →
+  * ~10⁸ candidate pairs per bucket — the documented knob tradeoff, NOT
+  * the production path). This probe measures what production runs:
+  * autoNBits holds expected occupancy ~constant, so candidates grow
+  * linearly with the corpus.
+  *
+  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> [iters]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val bits = graft.ops.Similarity.autoNBits(n)
+    println(s"corpus=$n vectors, autoNBits=$bits")
+
+    def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (0 until iters).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = mk.queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val warm = times.tail.map(_._1)
+      println(f"$name%-28s cold=${times.head._1}%7.3f " +
+        f"warm_min=${warm.minOption.getOrElse(Double.NaN)}%7.3f " +
+        f"rows=${times.head._2}  all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+    }
+
+    time("lib_neardup_pairs_auto") {
+      graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n))
+    }
+    time("lib_cluster_labels_auto") {
+      graft.ops.Dedup.connectedComponents(
+        graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n)))
+    }
+    time("lib_semdedup_survivors") {
+      val dropped = graft.ops.Dedup.connectedComponents(
+          graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n)))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+    }
+    spark.stop()
+  }
+}
