@@ -334,6 +334,39 @@ object Aggregates {
              |FROM c JOIN n USING (lang)
              |WHERE c.cnt * 51 > n.total
              |ORDER BY lang ASC NULLS FIRST, token ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Count–min frequency estimates vs exact, for the corpus's 20 most
+      // frequent tokens — the constant-state frequency path at 100 TB,
+      // where exact per-key counts would shuffle the full token stream
+      // (graft.functions.CountMin: 32 KB mergeable sketch, map-side
+      // partial agg, ONE row per partition on the exchange; probe =
+      // broadcast the finished sketch, read 4 cells per candidate via
+      // codegen'd integer SQL that mirrors the build-side hashing
+      // bit-for-bit). Output carries est and exact side by side so the
+      // one-sided guarantee (est ≥ exact) and the ε·N error ceiling are
+      // INSPECTABLE in the result; CountMinSpec pins both bounds plus
+      // merge algebra. No DuckDB oracle: the sketch's cell layout is
+      // engine-specific (xxhash64 keys) — ScalaTest-verified instead.
+      "q_cms_freq_est",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .select(col("token"), xxhash64(col("token")).as("x"))
+        val sketch = toks
+          .agg(graft.functions.CountMinSketch.agg(col("x")).as("sketch"))
+        val top = toks.groupBy("token")
+          .agg(count(lit(1)).as("exact_cnt"), first(col("x")).as("x"))
+          .orderBy(desc_nulls_last("exact_cnt"), asc_nulls_first("token"))
+          .limit(20)
+        top.crossJoin(broadcast(sketch))
+          .select(col("token"), col("exact_cnt"),
+            graft.functions.CountMin.estimateCol(col("sketch"), col("x"))
+              .as("est_cnt"))
+          .orderBy(desc_nulls_last("exact_cnt"), asc_nulls_first("token"))
+      },
+      None
     )
   )
 }

@@ -546,6 +546,45 @@ object Pipeline {
              |  COUNT(*) < 50 AS risky
              |FROM documents GROUP BY lang, source
              |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Deterministic bottom-k-by-hash sample (KMV shape): per language,
+      // the 5 docs with the SMALLEST multiplicative hash of doc_id — a
+      // uniform, replay-stable stratum sample whose membership never
+      // depends on partitioning, arrival order, or cluster size (the audit
+      // sample a curator pins next to every corpus release), and exactly a
+      // KMV distinct sketch: the k-th smallest hash h_k estimates the
+      // stratum's cardinality as (k−1)·2^32/h_k. Physical plan is the
+      // graft.functions.TopKByValue bounded aggregate over the NEGATED
+      // hash — map tasks reduce each stratum slice to ≤k pairs BEFORE the
+      // exchange (see q_topk_agg), while the oracle's window form shuffles
+      // every row. Hash = the shared Knuth multiplicative hash (exact
+      // integer ops on both engines, overflow-safe per q_split_assign);
+      // h < 2^32 so the Double negation is exact.
+      "q_bottomk_sample",
+      (s, d) => {
+        val bottomk = graft.functions.TopK.topkByValue(5)
+        tbl(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            (col("doc_id") % 1000003L * 2654435761L % 4294967296L).as("h"))
+          .groupBy("lang")
+          .agg(bottomk((-col("h")).cast("double"), col("doc_id")).as("bot"))
+          .select(col("lang"), posexplode(col("bot")))
+          .select(col("lang"),
+            col("col._2").as("doc_id"),
+            (-col("col._1")).cast("long").as("h"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy(asc_nulls_first("lang"), asc_nulls_first("rn"))
+      },
+      Some("""SELECT lang, doc_id, h, rn FROM (
+             |  SELECT lang, doc_id, h,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+             |  FROM (SELECT lang, doc_id,
+             |          doc_id % 1000003 * 2654435761 % 4294967296 AS h
+             |        FROM documents))
+             |WHERE rn <= 5
+             |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
     )
   )
 }

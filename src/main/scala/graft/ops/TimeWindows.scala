@@ -879,6 +879,63 @@ object TimeWindows {
              |    CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE)
              |    AS p
              |FROM c ORDER BY src ASC NULLS FIRST, dst ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Peak concurrency per event type: each event holds a slot for 15
+      // minutes ([ts, ts+15m) half-open); the answer is the max number of
+      // simultaneously open slots — the load-sizing census behind capacity
+      // planning. Classic sweep line: +1 at open, −1 at expiry, running
+      // sum in time order, max. Ordering (t ASC, delta ASC) closes slots
+      // BEFORE opening new ones at the same instant (half-open
+      // semantics), and equal-(t,delta) rows commute under +, so the max
+      // is independent of any residual tie order — hash-stable.
+      //
+      // The running sum is the same TWO-LEVEL distributed prefix sum as
+      // q_pack_contexts: Window.partitionBy(event_type) alone would put
+      // each type's whole multi-TB point stream in ONE task at 100 TB;
+      // instead day buckets scan in parallel (inner window over
+      // (type, day)), per-day totals prefix-sum on a frame ~10^5× smaller,
+      // and a broadcast join adds each day's offset back. Exact integer
+      // arithmetic throughout, so the oracle keeps the one-window form.
+      "q_peak_concurrency",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = tbl(s, d, "events")
+        val pts = ev
+          .select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+          .unionByName(ev.select(col("event_type"),
+            (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"),
+            lit(-1L).as("delta")))
+          .withColumn("day", date_trunc("day", col("t")))
+        val wIn = W.partitionBy("event_type", "day")
+          .orderBy(asc_nulls_first("t"), asc_nulls_first("delta"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val wOff = W.partitionBy("event_type")
+          .orderBy(asc_nulls_first("day"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val offsets = pts.groupBy("event_type", "day")
+          .agg(sum(col("delta")).as("day_sum"))
+          .withColumn("offset", coalesce(sum(col("day_sum")).over(wOff), lit(0L)))
+          .select("event_type", "day", "offset")
+        pts.withColumn("run_in", sum(col("delta")).over(wIn))
+          .join(broadcast(offsets), Seq("event_type", "day"))
+          .groupBy("event_type")
+          .agg(max(col("run_in") + col("offset")).cast("long").as("peak"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, ts AS t, 1 AS delta FROM events
+             |  UNION ALL
+             |  SELECT event_type, ts + INTERVAL 15 MINUTE AS t, -1 AS delta
+             |  FROM events),
+             |run AS (
+             |  SELECT event_type,
+             |    SUM(delta) OVER (PARTITION BY event_type
+             |      ORDER BY t ASC, delta ASC ROWS UNBOUNDED PRECEDING) AS cur
+             |  FROM pts)
+             |SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
+             |FROM run GROUP BY event_type
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
     )
   )
 

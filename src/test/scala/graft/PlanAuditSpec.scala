@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec
     "q_kmeans_update", // same ≤8-centroid broadcast inside the assign step
     "q_collocations", // two 1-row total aggregates (N, M) broadcast
     "q_bm25", // 1-row corpus-stats aggregate broadcast (keyless cross)
+    "q_cms_freq_est", // 1-row finished CMS sketch broadcast to 20 probes
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
