@@ -1157,6 +1157,59 @@ object TextOps {
              |    (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))) AS flesch
              |FROM c
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Unigram-LM surprisal score per document — the CCNet-style quality
+      // signal LLM curation ranks on (very low = boilerplate/spam built
+      // from the most common tokens, very high = rare-token noise; the
+      // middle band is natural text). Hash-exact across engines because
+      // the per-token surprisal is the integer BIT LENGTH of the inverse
+      // frequency — bitlen(N div cnt) = floor(log2(N/cnt)) + 1 — instead
+      // of a floating log whose last ulp differs between libm and the
+      // JVM: Spark length(conv(x,10,2)) ≡ DuckDB length(format('{:b}',x))
+      // exactly, sums stay in BIGINT, and the per-doc mean is ONE final
+      // correctly-rounded IEEE division.
+      //
+      // Scale shape: token stream reduces to a (hash, cnt) vocab frame in
+      // one map-side-combined shuffle; the corpus total N (1-row agg)
+      // broadcast-crosses the VOCAB frame, never the token stream; the
+      // stream then equi-joins the hashed vocab (strings never shuffle —
+      // 8-byte hashes on the wire, same as q_rare_token_ratio) and
+      // reduces per doc.
+      "q_unigram_surprisal",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+          .localCheckpoint(eager = false)
+        val cnt = toks.groupBy("th").agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val surp = cnt.crossJoin(broadcast(total))
+          .select(col("th"),
+            length(conv(expr("total div cnt"), 10, 2)).cast("long").as("surp"))
+        toks.join(surp, Seq("th"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("s").cast("long").as("surp_sum"),
+            (col("s").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_surprisal"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+             |n AS (SELECT COUNT(*) AS total FROM t),
+             |s AS (SELECT tok,
+             |        CAST(length(format('{:b}', total // cnt)) AS BIGINT)
+             |          AS surp
+             |      FROM c CROSS JOIN n)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(surp) AS BIGINT) AS surp_sum,
+             |  CAST(SUM(surp) AS DOUBLE) / COUNT(*) AS mean_surprisal
+             |FROM t JOIN s USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec
     "q_collocations", // two 1-row total aggregates (N, M) broadcast
     "q_bm25", // 1-row corpus-stats aggregate broadcast (keyless cross)
     "q_cms_freq_est", // 1-row finished CMS sketch broadcast to 20 probes
+    "q_unigram_surprisal", // 1-row corpus total N crossed with the vocab frame
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
