@@ -336,6 +336,35 @@ object Aggregates {
              |ORDER BY lang ASC NULLS FIRST, token ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      "q_mode_agg",
+      (s, d) => {
+        // Deterministic mode: most frequent c_nationkey per market
+        // segment, ties broken toward the smallest key. Spark's built-in
+        // mode() picks an ARBITRARY tie winner (partition-order-
+        // dependent), so the engine keeps the count+rank formulation:
+        // counts are one map-side-combined agg on the bounded
+        // (segment × nation) key space and the rank window runs on that
+        // tiny frame — the raw table never reaches a window.
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc_nulls_last("cnt"), asc_nulls_first("c_nationkey"))
+        tbl(s, d, "customer")
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+            col("cnt"))
+          .orderBy(asc_nulls_first("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, c_nationkey AS mode_nation, cnt FROM (
+             |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+             |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+             |WHERE rn = 1
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // Count–min frequency estimates vs exact, for the corpus's 20 most
       // frequent tokens — the constant-state frequency path at 100 TB,
       // where exact per-key counts would shuffle the full token stream
