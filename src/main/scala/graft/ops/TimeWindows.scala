@@ -936,6 +936,46 @@ object TimeWindows {
              |SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
              |FROM run GROUP BY event_type
              |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Week-over-week traffic delta per event type — the period-over-
+      // period census every operational dashboard leads with. The weekly
+      // rollup is one map-side-combined aggregate down to a bounded
+      // (week × type) frame; lag and the delta run on that tiny frame
+      // (the raw stream never reaches a window — same altitude split as
+      // q_stats_windows). Counts are exact BIGINT; pct_change is ONE
+      // final IEEE division, NULL for each type's first week (explicit
+      // CASE on both engines). Both engines truncate weeks to Monday
+      // 00:00 UTC.
+      "q_period_over_period",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("event_type").orderBy(asc_nulls_first("week"))
+        tbl(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prev", lag(col("cnt"), 1).over(w))
+          .withColumn("pct_change",
+            when(col("prev").isNotNull,
+              (col("cnt") - col("prev")).cast("double") /
+                col("prev").cast("double")))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("week"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT event_type,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, week, cnt,
+             |        lag(cnt, 1) OVER (PARTITION BY event_type
+             |          ORDER BY week ASC NULLS FIRST) AS prev
+             |      FROM wk)
+             |SELECT event_type, week, cnt, prev,
+             |  CASE WHEN prev IS NOT NULL
+             |       THEN CAST(cnt - prev AS DOUBLE) / CAST(prev AS DOUBLE) END
+             |    AS pct_change
+             |FROM l
+             |ORDER BY event_type ASC NULLS FIRST, week ASC NULLS FIRST""".stripMargin)
     )
   )
 

@@ -84,6 +84,40 @@ class EmbedWhitenSpec extends SparkSpec {
     }
   }
 
+  test("whitenEmbeddings removes exactly the top component's variance") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (_, v, lambda) = ops.Similarity.topComponent(emb)
+    val before = collectEmb()
+    val after = ops.Similarity.whitenEmbeddings(emb)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray)
+    assert(after.length == before.length)
+    val dim = v.length
+    val n = after.length.toDouble
+
+    // 1) whitened vectors have ~zero projection on v (they were centered
+    //    and the v-component subtracted; float32 round-trip is the noise)
+    after.foreach { x =>
+      val p = (0 until dim).map(i => x(i) * v(i)).sum
+      assert(math.abs(p) <= 1e-3, s"residual projection $p")
+    }
+
+    // 2) total variance drops by exactly the top eigenvalue
+    def totalVar(xs: Array[Array[Float]]): Double = {
+      val mu = Array.tabulate(dim)(i => xs.map(_(i).toDouble).sum / n)
+      (0 until dim).map(i => xs.map(x => math.pow(x(i) - mu(i), 2)).sum / n).sum
+    }
+    val (tb, ta) = (totalVar(before), totalVar(after))
+    assert(math.abs((tb - ta) - lambda) <= 1e-4 * tb,
+      s"var before=$tb after=$ta lambda=$lambda")
+
+    // 3) schema preserved: still (vec_id, embedding array<float>)
+    val out = ops.Similarity.whitenEmbeddings(emb)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(out.schema("embedding").dataType.simpleString == "array<float>")
+  }
+
   test("q_embed_whiten plans partial aggregation for the Gram pass") {
     // the gram collect happens at construction; audit the projection scan
     // has no joins and the constructed plan aggregates map-side
