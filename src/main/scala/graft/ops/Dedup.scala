@@ -751,6 +751,51 @@ object Dedup {
              |    CAST(COUNT(*) AS DOUBLE) AS dup_ratio
              |FROM documents GROUP BY source
              |ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Contamination rate by source — the governance rollup of
+      // q_decontaminate: WHICH sources carry benchmark leakage, and how
+      // much (the number a release review quotes, where q_decontaminate's
+      // per-doc rows are the evidence). The decontaminate operator yields
+      // hit doc_ids (bench shingles broadcast with the count guard; the
+      // corpus streams through); the rollup is an 8-byte-key semi-join of
+      // (doc_id, source) against the hit set plus one bounded per-source
+      // aggregate — exact integer counts, ONE final division.
+      "q_contamination_by_source",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") >= 20)
+        val hits = decontaminate(corpus.select("doc_id", "text"),
+          docs.filter(col("doc_id") < 20).select("doc_id", "text"))
+        val contaminated = corpus.select("doc_id", "source")
+          .join(hits.select("doc_id"), Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+        corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(contaminated, Seq("source"), "left")
+          .withColumn("n_contaminated",
+            coalesce(col("n_contaminated"), lit(0L)))
+          .withColumn("rate",
+            col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(l) >= 3
+             |    THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)]
+             |    ELSE [array_to_string(l, ' ')] END) AS token
+             |  FROM t),
+             |bench AS (SELECT DISTINCT token FROM sh WHERE doc_id < 20),
+             |hit AS (SELECT DISTINCT s.doc_id FROM sh s
+             |        JOIN bench b ON s.token = b.token
+             |        WHERE s.doc_id >= 20)
+             |SELECT d.source, COUNT(*) AS n_docs,
+             |  COUNT(h.doc_id) AS n_contaminated,
+             |  CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*) AS rate
+             |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+             |WHERE d.doc_id >= 20
+             |GROUP BY d.source
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 }

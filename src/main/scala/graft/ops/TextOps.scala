@@ -1210,6 +1210,60 @@ object TextOps {
              |  CAST(SUM(surp) AS DOUBLE) / COUNT(*) AS mean_surprisal
              |FROM t JOIN s USING (tok)
              |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Document-length distribution in power-of-two bands per source —
+      // the first profile a curator pulls on a new corpus (truncation
+      // spikes, empty-doc pathologies, per-source length character). Band
+      // = integer bit length of n_chars (the q_unigram_surprisal idiom:
+      // Spark conv(x,10,2) ≡ DuckDB format('{:b}',x) exactly — no float
+      // log2 at band edges). One map-side-combined rollup on a bounded
+      // (source × ~20 bands) key space; min/max per band are exact ints.
+      "q_length_dist",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .groupBy(col("source"),
+            length(conv(col("n_chars"), 10, 2)).cast("long").as("len_band"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(asc_nulls_first("source"), asc_nulls_first("len_band"))
+      },
+      Some("""SELECT source,
+             |  CAST(length(format('{:b}', n_chars)) AS BIGINT) AS len_band,
+             |  COUNT(*) AS n_docs,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1, 2
+             |ORDER BY source ASC NULLS FIRST, len_band ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Vocabulary growth (type-token ratio) per source — the Heaps'-law
+      // census that flags template-generated sources (tiny vocabulary,
+      // huge token count) vs natural text. Engine counts distinct 8-byte
+      // token hashes so strings never shuffle (equal to the oracle's
+      // distinct-string count modulo a 64-bit collision, the
+      // q_dup_ratio_by_source precedent); exact-integer numerators, ONE
+      // final division.
+      "q_vocab_growth",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), xxhash64(col("tok")).as("th"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("th")).as("n_types"))
+          .withColumn("ttr",
+            col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_tokens,
+             |  COUNT(DISTINCT tok) AS n_types,
+             |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS ttr
+             |FROM t GROUP BY source
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 
