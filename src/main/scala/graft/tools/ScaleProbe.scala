@@ -54,6 +54,13 @@ object ScaleProbe {
       graft.ops.Dedup.connectedComponents(
         graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n)))
     }
+    time("lib_neardup_multiprobe8") {
+      // half the tables + 1-bit probing: recall parity with the 16-table
+      // exact-probe form is pinned in SimilaritySpec; this probe measures
+      // the COST side of the trade (1x bucket build, (nBits+1)x probe rows)
+      graft.ops.Similarity.lshNearDupPairsMultiProbe(emb, nTables = 8,
+        knownCount = Some(n))
+    }
     time("lib_semdedup_survivors") {
       val dropped = graft.ops.Dedup.connectedComponents(
           graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n)))

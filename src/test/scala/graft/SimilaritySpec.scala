@@ -157,6 +157,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"corpus-wide near-dup recall $recall (${got.size}/${truth.size})")
   }
 
+  test("multi-probe LSH at HALF the tables matches exact-probe recall (precision 1.0)") {
+    val embDf = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val emb = embDf.as[(Long, Seq[Float])].collect().toMap
+    val floor = 0.4
+    val truth = (for {
+      (a, va) <- emb.toSeq; (b, vb) <- emb.toSeq
+      if a < b && cosScala(va, vb) > floor
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty)
+
+    def recallOf(pairs: org.apache.spark.sql.DataFrame): (Double, Set[(Long, Long)]) = {
+      val got = pairs.select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+      ((truth & got).size.toDouble / truth.size, got)
+    }
+    val n = Some(emb.size.toLong)
+    val (exact16, _) = recallOf(
+      graft.ops.Similarity.lshNearDupPairs(embDf, nTables = 16, knownCount = n))
+    val (mp8, _) = recallOf(
+      graft.ops.Similarity.lshNearDupPairsMultiProbe(embDf, nTables = 8, knownCount = n))
+    // the multi-probe thesis: 1-bit probing at half the tables holds the
+    // recall of the 16-table exact-probe form (small slack for the
+    // different random-plane draws), at 1x bucket build instead of 2x
+    assert(mp8 >= exact16 - 0.02, s"multi-probe recall $mp8 vs exact-probe $exact16")
+    assert(mp8 >= 0.9, s"multi-probe recall $mp8")
+  }
+
+  test("multi-probe LSH plans an equi-join (no nested loop) on (tbl, bkt)") {
+    val embDf = graft.ops.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val plan = graft.ops.Similarity
+      .lshNearDupPairsMultiProbe(embDf, nTables = 4, knownCount = Some(500L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_decontaminate_fuzzy: cross-frame recall ≥ 0.9, precision 1.0 vs brute force") {
     // sf0.01 (not the suite's sf0.001): the bench/corpus split is
     // vec_id < 100, which needs the 500-vector fixture to leave a corpus.
