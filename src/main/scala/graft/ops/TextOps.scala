@@ -1264,6 +1264,68 @@ object TextOps {
              |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS ttr
              |FROM t GROUP BY source
              |ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Bigram conditional surprisal per document — the second-order LM
+      // quality score next to q_unigram_surprisal (a KenLM-style signal:
+      // low = formulaic n-gram-predictable text, high = incoherent token
+      // salad; unigram scoring cannot tell "the the the" from fluent
+      // prose built of common words). Per bigram (w1,w2): surprisal =
+      // bitlen(cnt(w1·) div cnt(w1,w2)) — the integer floor-log2 of the
+      // inverse CONDITIONAL frequency, exact on both engines (the
+      // q_unigram_surprisal idiom); cnt(w1·) counts w1 as bigram START
+      // (non-last tokens), so cnt1 ≥ cnt2 always and the division is
+      // well-defined. Per-doc mean is ONE final IEEE division.
+      //
+      // Scale shape: bigrams assemble with lead() over per-doc windows
+      // (bounded partitions — a doc, not a corpus; the q_markov
+      // precedent); both count frames are vocab-sized map-side-combined
+      // aggregates on 8-byte hashes; the stream equi-joins the scored
+      // bigram vocab on its hash — strings never shuffle.
+      "q_bigram_surprisal",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("doc_id").orderBy(asc_nulls_first("pos"))
+        val bg = tbl(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), xxhash64(col("tok")).as("h1"),
+            xxhash64(col("tok"), col("nxt")).as("h2"))
+          .localCheckpoint(eager = false) // three consumers, one assembly
+        val c1 = bg.groupBy("h1").agg(count(lit(1)).as("cnt1"))
+        val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("cnt2"))
+        val scored = c2.join(c1, "h1")
+          .select(col("h2"),
+            length(conv(expr("cnt1 div cnt2"), 10, 2)).cast("long").as("surp"))
+        bg.join(scored, Seq("h2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            col("s").cast("long").as("surp_sum"),
+            (col("s").cast("double") / col("n_bigrams").cast("double"))
+              .as("mean_surprisal"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+             |          FROM documents),
+             |bg AS (SELECT doc_id,
+             |         unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))])
+             |           AS bg
+             |       FROM t WHERE len(l) >= 2),
+             |c1 AS (SELECT split_part(bg, ' ', 1) AS w, COUNT(*) AS cnt1
+             |       FROM bg GROUP BY 1),
+             |c2 AS (SELECT bg, COUNT(*) AS cnt2 FROM bg GROUP BY bg),
+             |s AS (SELECT c2.bg,
+             |        CAST(length(format('{:b}', cnt1 // cnt2)) AS BIGINT)
+             |          AS surp
+             |      FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(surp) AS BIGINT) AS surp_sum,
+             |  CAST(SUM(surp) AS DOUBLE) / COUNT(*) AS mean_surprisal
+             |FROM bg JOIN s USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 
