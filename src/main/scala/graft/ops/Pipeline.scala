@@ -585,6 +585,58 @@ object Pipeline {
              |        FROM documents))
              |WHERE rn <= 5
              |ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Temperature-smoothed source mixture weights (τ = 1/2) — the
+      // sampling-weight table an LLM training loader consumes: upweight
+      // small sources, damp big ones (w_s ∝ n_s^τ, the multilingual /
+      // multi-corpus mixing recipe), plus the implied per-source epoch
+      // count for a fixed token budget. Float-sum pitfall: Σ√n over
+      // sources is order-dependent in IEEE, so each √n is QUANTIZED first
+      // — floor(√n · 2^20) is exact BIGINT on both engines (√ is
+      // correctly rounded IEEE on exactly-representable BIGINT input;
+      // scaling by a power of two touches only the exponent) — and the
+      // normalizer is then an order-independent INTEGER sum. weight and
+      // epochs are single correctly-rounded divisions with one fixed
+      // association mirrored in the oracle.
+      //
+      // Scale shape: one map-side-combined agg to a (source)-sized frame
+      // (token counts via size(split) — no explode, the stream never
+      // widens); the window normalizer runs on that ~20-row frame.
+      "q_mix_weights",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val counts = tbl(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .withColumn("sq", expr(
+            "cast(floor(sqrt(cast(n_tokens as double)) * 1048576.0d) as bigint)"))
+        counts
+          .withColumn("tot", sum(col("sq")).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+          .withColumn("weight",
+            col("sq").cast("double") / col("tot").cast("double"))
+          .withColumn("epochs",
+            (col("weight") * lit(1.0e8)) / col("n_tokens").cast("double"))
+          .select(col("source"), col("n_tokens"), col("weight"), col("epochs"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source,
+             |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |q AS (SELECT source, n_tokens,
+             |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0)
+             |          AS BIGINT) AS sq
+             |      FROM c),
+             |w AS (SELECT source, n_tokens, sq, SUM(sq) OVER () AS tot FROM q)
+             |SELECT source, n_tokens,
+             |  CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+             |  (CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e8
+             |    / CAST(n_tokens AS DOUBLE) AS epochs
+             |FROM w
+             |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 }

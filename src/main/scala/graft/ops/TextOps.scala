@@ -1326,6 +1326,89 @@ object TextOps {
              |  CAST(SUM(surp) AS DOUBLE) / COUNT(*) AS mean_surprisal
              |FROM bg JOIN s USING (bg)
              |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // DSIR-style importance weight per document (Xie et al. 2023, "Data
+      // Selection via Importance Resampling"): score every doc by how much
+      // its hashed-unigram profile resembles a TARGET domain (here the
+      // lang='en' slice) relative to the whole corpus — the standard
+      // cheap-LM recipe for target-domain data selection. Features are
+      // 4096 hash buckets keyed by the first 3 hex chars of md5(token) —
+      // md5 is the ONE hash both engines spell identically (lowercase
+      // hex), so bucket assignment matches the oracle exactly (the
+      // xxhash64-only idiom elsewhere can't cross engines). Per bucket b,
+      // with +1 smoothing and T/R the smoothed totals: the log-likelihood
+      // ratio log2(tgt_b/T / (raw_b/R)) is taken as the exact INTEGER
+      //   w_b = f(tcs*Rs div rcs*Ts) - f(rcs*Ts div tcs*Rs),
+      // f = binary bit length with f(0)=1 — a signed floor-log2 with a
+      // deadband on ratios in (1/2, 2), zero float logs to diverge.
+      // Products run in DECIMAL(19,0)² → DECIMAL(38,0) (HUGEINT on the
+      // oracle side) so corpus-scale counts cannot overflow; quotients
+      // fit BIGINT by construction (≤ max smoothed total).
+      //
+      // Scale shape: the token stream reduces ONCE to a ≤4096-row bucket
+      // frame per side (map-side-combined agg on a 3-char key); the 1-row
+      // totals broadcast-cross the BUCKET frame, never the stream; the
+      // stream equi-joins the 4096-row scored frame (broadcast) and
+      // reduces per doc — per-token state on the wire is a 3-char key.
+      "q_importance_weights",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            substring(md5(col("tok")), 1, 3).as("b"))
+          .localCheckpoint(eager = false) // three consumers, one assembly
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("tc"))
+        // target buckets ⊂ raw buckets, so a left join from raw covers all
+        val sm = raw.join(tgt, Seq("b"), "left")
+          .select(col("b"), (coalesce(col("tc"), lit(0L)) + 1L).as("tcs"),
+            (col("rc") + 1L).as("rcs"))
+          // ≤4096 rows, two consumers (totals + scored): one bucket-count
+          // pass over the token stream instead of two
+          .localCheckpoint(eager = false)
+        val totals = sm.agg(sum(col("tcs")).as("tt"), sum(col("rcs")).as("rt"))
+        val scored = sm.crossJoin(broadcast(totals))
+          .withColumn("a1", expr("cast(tcs as decimal(19,0)) * cast(rt as decimal(19,0))"))
+          .withColumn("a2", expr("cast(rcs as decimal(19,0)) * cast(tt as decimal(19,0))"))
+          .select(col("b"),
+            (length(conv(expr("a1 div a2"), 10, 2)).cast("long") -
+              length(conv(expr("a2 div a1"), 10, 2)).cast("long")).as("wb"))
+        toks.join(broadcast(scored), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wb")).as("ws"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("ws").cast("long").as("w_sum"),
+            (col("ws").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_w"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    substring(md5(unnest(string_split(text, ' '))), 1, 3) AS b
+             |  FROM documents),
+             |raw AS (SELECT b, COUNT(*) AS rc FROM t GROUP BY b),
+             |tgt AS (SELECT b, COUNT(*) AS tc FROM t WHERE lang = 'en'
+             |        GROUP BY b),
+             |sm AS (SELECT raw.b, COALESCE(tc, 0) + 1 AS tcs, rc + 1 AS rcs
+             |       FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+             |tot AS (SELECT SUM(tcs) AS tt, SUM(rcs) AS rt FROM sm),
+             |sc AS (SELECT b,
+             |         CAST(length(format('{:b}', CAST(
+             |           (CAST(tcs AS HUGEINT) * rt) //
+             |           (CAST(rcs AS HUGEINT) * tt) AS BIGINT))) AS BIGINT)
+             |         - CAST(length(format('{:b}', CAST(
+             |           (CAST(rcs AS HUGEINT) * tt) //
+             |           (CAST(tcs AS HUGEINT) * rt) AS BIGINT))) AS BIGINT)
+             |           AS wb
+             |       FROM sm CROSS JOIN tot)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(wb) AS BIGINT) AS w_sum,
+             |  CAST(SUM(wb) AS DOUBLE) / COUNT(*) AS mean_w
+             |FROM t JOIN sc USING (b)
+             |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 

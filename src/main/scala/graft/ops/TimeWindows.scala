@@ -976,6 +976,81 @@ object TimeWindows {
              |    AS pct_change
              |FROM l
              |ORDER BY event_type ASC NULLS FIRST, week ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // EWMA drift monitor per event type — flag days whose traffic
+      // diverges from an exponentially-weighted moving average of the
+      // trailing week (the classic ops-anomaly baseline; EWMA discounts
+      // old days where q_period_over_period's flat lag cannot). A float
+      // EWMA recurrence would drift between engines, so the α=1/2 EWMA is
+      // computed EXACTLY: over the 8 trailing days, numerator
+      // Σ lag_i·2^(8-i) and denominator Σ 2^(8-i) (present lags only —
+      // series starts self-correct) are pure BIGINT; ewma and the
+      // actual/expected drift ratio are the only IEEE ops, each a single
+      // correctly-rounded division on identical inputs both engines.
+      //
+      // Scale shape: the raw stream collapses to a bounded (type × day)
+      // frame in one map-side-combined aggregate; the 8 lags run on that
+      // tiny frame (same altitude split as q_stats_windows — window
+      // functions never see the raw stream).
+      "q_ewma_drift",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("event_type").orderBy(asc_nulls_first("day"))
+        val daily = tbl(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val lags = (1 to 8).map(i => (lag(col("cnt"), i).over(w), 1L << (8 - i)))
+        val num = lags.map { case (l, wt) => coalesce(l, lit(0L)) * lit(wt) }
+          .reduce(_ + _)
+        val den = lags.map { case (l, wt) =>
+          when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+        daily
+          .withColumn("num", num).withColumn("den", den)
+          .withColumn("ewma", when(col("den") > 0,
+            col("num").cast("double") / col("den").cast("double")))
+          .withColumn("drift", when(col("den") > 0,
+            col("cnt").cast("double") / col("ewma")))
+          .select(col("event_type"), col("day"), col("cnt"),
+            col("ewma"), col("drift"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+             |      AS day,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, day, cnt,
+             |        lag(cnt, 1) OVER w AS l1, lag(cnt, 2) OVER w AS l2,
+             |        lag(cnt, 3) OVER w AS l3, lag(cnt, 4) OVER w AS l4,
+             |        lag(cnt, 5) OVER w AS l5, lag(cnt, 6) OVER w AS l6,
+             |        lag(cnt, 7) OVER w AS l7, lag(cnt, 8) OVER w AS l8
+             |      FROM daily
+             |      WINDOW w AS (PARTITION BY event_type
+             |                   ORDER BY day ASC NULLS FIRST)),
+             |e AS (SELECT event_type, day, cnt,
+             |        COALESCE(l1,0)*128 + COALESCE(l2,0)*64
+             |          + COALESCE(l3,0)*32 + COALESCE(l4,0)*16
+             |          + COALESCE(l5,0)*8 + COALESCE(l6,0)*4
+             |          + COALESCE(l7,0)*2 + COALESCE(l8,0)*1 AS num,
+             |        (CASE WHEN l1 IS NOT NULL THEN 128 ELSE 0 END)
+             |          + (CASE WHEN l2 IS NOT NULL THEN 64 ELSE 0 END)
+             |          + (CASE WHEN l3 IS NOT NULL THEN 32 ELSE 0 END)
+             |          + (CASE WHEN l4 IS NOT NULL THEN 16 ELSE 0 END)
+             |          + (CASE WHEN l5 IS NOT NULL THEN 8 ELSE 0 END)
+             |          + (CASE WHEN l6 IS NOT NULL THEN 4 ELSE 0 END)
+             |          + (CASE WHEN l7 IS NOT NULL THEN 2 ELSE 0 END)
+             |          + (CASE WHEN l8 IS NOT NULL THEN 1 ELSE 0 END) AS den
+             |      FROM l)
+             |SELECT event_type, day, cnt,
+             |  CASE WHEN den > 0
+             |       THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma,
+             |  CASE WHEN den > 0
+             |       THEN CAST(cnt AS DOUBLE)
+             |            / (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) END
+             |    AS drift
+             |FROM e
+             |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin)
     )
   )
 
