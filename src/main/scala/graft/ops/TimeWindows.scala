@@ -1051,6 +1051,77 @@ object TimeWindows {
              |    AS drift
              |FROM e
              |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Key-skew probe: the count-of-counts histogram over events.user_id
+      // in power-of-two bands — the census a planner pulls BEFORE picking
+      // a salting factor or trusting AQE's skew split (q_salted_agg is the
+      // cure; this measures the disease: one band holding most of the
+      // events = a hot-key join/agg hazard). Band = integer bit length of
+      // the per-key count (the shared conv/format idiom — no float log2
+      // at band edges). Two-level shape: per-key counts are ONE
+      // map-side-combined shuffle on user_id; the band rollup and the
+      // share-of-total window run on frames bounded by (keys, ~20 bands).
+      // All counts exact BIGINT; share is ONE final IEEE division.
+      "q_skew_probe",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        tbl(s, d, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .groupBy(length(conv(col("n"), 10, 2)).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_keys"),
+            min(col("n")).as("min_n"), max(col("n")).as("max_n"),
+            sum(col("n")).as("n_events"))
+          .withColumn("share",
+            col("n_events").cast("double") /
+              sum(col("n_events")).over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+                .cast("double"))
+          .orderBy(asc_nulls_first("band"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+             |b AS (SELECT CAST(length(format('{:b}', n)) AS BIGINT) AS band,
+             |        COUNT(*) AS n_keys, MIN(n) AS min_n, MAX(n) AS max_n,
+             |        CAST(SUM(n) AS BIGINT) AS n_events
+             |      FROM per GROUP BY 1)
+             |SELECT band, n_keys, min_n, max_n, n_events,
+             |  CAST(n_events AS DOUBLE)
+             |    / CAST(CAST(SUM(n_events) OVER () AS BIGINT) AS DOUBLE)
+             |    AS share
+             |FROM b ORDER BY band ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Per-user activity span census — lifetime, active-day count, and
+      // intensity per user (the engagement profile behind retention work;
+      // q_retention_cohorts aggregates cohorts, this keeps the per-user
+      // grain). One map-side-combined shuffle on user_id computes count /
+      // distinct-day / min / max together; output is bounded by the user
+      // population, not the event volume. span_days counts calendar-day
+      // boundaries (Spark datediff on dates ≡ DuckDB date_diff('day') on
+      // timestamps); events_per_day is ONE final IEEE division of exact
+      // integers.
+      "q_user_activity_span",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+            min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+          .withColumn("span_days",
+            datediff(col("last_ts"), col("first_ts")).cast("long"))
+          .withColumn("events_per_day",
+            col("n_events").cast("double") / col("n_days").cast("double"))
+          .orderBy(asc_nulls_first("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+             |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             |  CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS span_days,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT date_trunc('day', ts)) AS DOUBLE)
+             |    AS events_per_day
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
     )
   )
 
