@@ -1346,11 +1346,13 @@ object TextOps {
       // oracle side) so corpus-scale counts cannot overflow; quotients
       // fit BIGINT by construction (≤ max smoothed total).
       //
-      // Scale shape: the token stream reduces ONCE to a ≤4096-row bucket
-      // frame per side (map-side-combined agg on a 3-char key); the 1-row
-      // totals broadcast-cross the BUCKET frame, never the stream; the
-      // stream equi-joins the 4096-row scored frame (broadcast) and
-      // reduces per doc — per-token state on the wire is a 3-char key.
+      // Scale shape: the token stream is scanned ONCE, collapsing to a
+      // per-(doc, bucket) count frame — bounded by docs × min(doc tokens,
+      // 4096), typically ~10× smaller than the stream — and every later
+      // stage (corpus/target bucket counts, per-doc scoring) is an integer
+      // rollup of that frame; the 1-row totals broadcast-cross the ≤4096-
+      // row BUCKET frame, never the stream, and the scored frame
+      // broadcast-joins back.
       "q_importance_weights",
       (s, d) => {
         val toks = tbl(s, d, "documents")
@@ -1358,10 +1360,11 @@ object TextOps {
             explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), col("lang"),
             substring(md5(col("tok")), 1, 3).as("b"))
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
           .localCheckpoint(eager = false) // three consumers, one assembly
-        val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+        val raw = toks.groupBy("b").agg(sum(col("c")).as("rc"))
         val tgt = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("tc"))
+          .groupBy("b").agg(sum(col("c")).as("tc"))
         // target buckets ⊂ raw buckets, so a left join from raw covers all
         val sm = raw.join(tgt, Seq("b"), "left")
           .select(col("b"), (coalesce(col("tc"), lit(0L)) + 1L).as("tcs"),
@@ -1378,7 +1381,8 @@ object TextOps {
               length(conv(expr("a2 div a1"), 10, 2)).cast("long")).as("wb"))
         toks.join(broadcast(scored), Seq("b"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("wb")).as("ws"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("wb")).as("ws"))
           .select(col("doc_id"), col("n_tokens"),
             col("ws").cast("long").as("w_sum"),
             (col("ws").cast("double") / col("n_tokens").cast("double"))
