@@ -637,6 +637,40 @@ object Pipeline {
              |    / CAST(n_tokens AS DOUBLE) AS epochs
              |FROM w
              |ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Source-diversity index per language — the "how many sources is
+      // this slice REALLY drawing from" census (a slice with 20 listed
+      // sources but 95% of docs from one of them behaves like ~1 source
+      // in training). Effective source count = inverse Simpson index
+      // N²/Σn_s² — chosen over Shannon entropy precisely because it is
+      // EXACT: N² and Σn² are pure BIGINT (no float log to diverge
+      // between engines), the index is ONE final correctly-rounded
+      // division. One map-side-combined rollup to a (lang × source)
+      // frame; the per-lang fold runs on that bounded frame.
+      "q_diversity_index",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_sources"),
+            sum(col("n") * col("n")).as("s2"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            ((col("n_docs") * col("n_docs")).cast("double") /
+              col("s2").cast("double")).as("eff_sources"))
+          .orderBy(asc_nulls_first("lang"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, source, COUNT(*) AS n
+             |  FROM documents GROUP BY lang, source)
+             |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_sources,
+             |  CAST(CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE) AS eff_sources
+             |FROM c GROUP BY lang
+             |ORDER BY lang ASC NULLS FIRST""".stripMargin)
     )
   )
 }

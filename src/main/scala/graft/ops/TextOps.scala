@@ -1413,6 +1413,42 @@ object TextOps {
              |  CAST(SUM(wb) AS DOUBLE) / COUNT(*) AS mean_w
              |FROM t JOIN sc USING (b)
              |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Tokenizer-fertility census per language — chars/token and
+      // tokens/doc per lang (the first number a tokenizer owner checks on
+      // a new slice: CJK text at whitespace granularity shows extreme
+      // chars-per-token, a spam slice shows abnormal tokens-per-doc).
+      // Token counts via size(split) — the stream never widens through an
+      // explode; all sums exact BIGINT, each ratio ONE correctly-rounded
+      // division. One map-side-combined rollup to a ~5-row lang frame.
+      "q_token_fertility",
+      (s, d) => {
+        tbl(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+          .select(col("lang"), col("n_docs"), col("sum_chars"),
+            col("sum_tokens"),
+            (col("sum_chars").cast("double") / col("sum_tokens").cast("double"))
+              .as("chars_per_tok"),
+            (col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("toks_per_doc"))
+          .orderBy(asc_nulls_first("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |    AS BIGINT) AS sum_tokens,
+             |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |        AS BIGINT) AS DOUBLE) AS chars_per_tok,
+             |  CAST(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             |        AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS toks_per_doc
+             |FROM documents GROUP BY lang
+             |ORDER BY lang ASC NULLS FIRST""".stripMargin)
     )
   )
 
