@@ -1122,6 +1122,55 @@ object TimeWindows {
              |    AS events_per_day
              |FROM events GROUP BY user_id
              |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Daily reach decomposition — DAU split into new vs returning users
+      // plus cumulative reach (the growth census behind every launch
+      // dashboard; q_retention_cohorts answers "do they come back", this
+      // answers "who is new today"). Two map-side-combined shuffles over
+      // the raw stream (per-user first day; per-day distinct users — both
+      // keyed, both exact); the join, the new/returning split, and the
+      // cumulative window all run on the bounded day frame. The running
+      // sum's single-partition window is ~tens-of-rows by construction
+      // (one row per day), never the event stream. All counts exact
+      // BIGINT.
+      "q_daily_reach",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = tbl(s, d, "events")
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        val dau = ev.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        dau.join(firstSeen, Seq("day"), "left")
+          .select(col("day"), col("dau"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("returning", col("dau") - col("new_users"))
+          .withColumn("cum_reach", sum(col("new_users")).over(
+            W.orderBy(asc_nulls_first("day"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .orderBy(asc_nulls_first("day"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |    user_id
+             |  FROM events),
+             |fs AS (SELECT day, COUNT(*) AS new_users FROM (
+             |         SELECT user_id, MIN(day) AS day FROM ev
+             |         GROUP BY user_id)
+             |       GROUP BY day),
+             |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev
+             |        GROUP BY day)
+             |SELECT day, dau, COALESCE(new_users, 0) AS new_users,
+             |  dau - COALESCE(new_users, 0) AS returning,
+             |  CAST(SUM(COALESCE(new_users, 0)) OVER (
+             |    ORDER BY day ASC NULLS FIRST
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_reach
+             |FROM dau LEFT JOIN fs USING (day)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)
     )
   )
 
