@@ -671,6 +671,66 @@ object Pipeline {
              |    / CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE) AS eff_sources
              |FROM c GROUP BY lang
              |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Pipeline attrition census — survivors and drops per cleaning
+      // stage (raw → quality gate → exact dedup), the one-screen report
+      // every curation run prints before anyone trusts its output. The
+      // stages are the SAME public helpers the cleaning queries execute
+      // (qualityGate, exactDedup — one definition, no drift); each stage
+      // count is one aggregate of the composed frame, the three 1-row
+      // frames union into a bounded 3-row result where lag() computes
+      // drops and a whole-frame window computes pct-of-raw (ONE final
+      // division per row). No driver-side counts: the stage frames stay
+      // distributed until the 3-row union.
+      "q_pipeline_attrition",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+        val gated = qualityGate(docs)
+        val deduped = exactDedup(gated)
+        val stages = docs.agg(count(lit(1)).as("n_docs"))
+          .select(lit(0L).as("stage_ord"), lit("raw").as("stage"), col("n_docs"))
+          .unionAll(gated.agg(count(lit(1)).as("n_docs"))
+            .select(lit(1L).as("stage_ord"), lit("quality_gate").as("stage"),
+              col("n_docs")))
+          .unionAll(deduped.agg(count(lit(1)).as("n_docs"))
+            .select(lit(2L).as("stage_ord"), lit("exact_dedup").as("stage"),
+              col("n_docs")))
+        val wOrd = W.orderBy(asc_nulls_first("stage_ord"))
+        val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        stages
+          .withColumn("dropped",
+            coalesce(lag(col("n_docs"), 1).over(wOrd) - col("n_docs"), lit(0L)))
+          .withColumn("pct_of_raw",
+            col("n_docs").cast("double") /
+              max(when(col("stage_ord") === 0L, col("n_docs"))).over(wAll)
+                .cast("double"))
+          .orderBy(asc_nulls_first("stage_ord"))
+      },
+      Some("""WITH gated AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+             |dd AS (SELECT doc_id FROM (
+             |         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text)
+             |           AS min_id
+             |         FROM gated)
+             |       WHERE doc_id = min_id),
+             |st AS (
+             |  SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+             |    COUNT(*) AS n_docs FROM documents
+             |  UNION ALL
+             |  SELECT 1, 'quality_gate', COUNT(*) FROM gated
+             |  UNION ALL
+             |  SELECT 2, 'exact_dedup', COUNT(*) FROM dd)
+             |SELECT stage_ord, stage, n_docs,
+             |  COALESCE(lag(n_docs, 1) OVER (ORDER BY stage_ord ASC NULLS FIRST)
+             |    - n_docs, 0) AS dropped,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(MAX(CASE WHEN stage_ord = 0 THEN n_docs END)
+             |        OVER () AS DOUBLE) AS pct_of_raw
+             |FROM st
+             |ORDER BY stage_ord ASC NULLS FIRST""".stripMargin)
     )
   )
 }
