@@ -406,6 +406,36 @@ object Relational {
              |    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
              |  AND event_type <> 'error'
              |ORDER BY user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Correlated-EXISTS aggregate (the TPC-H Q4 shape): orders with at
+      // least one LATE-shipped line (l_shipdate after o_orderdate),
+      // counted per priority. The EXISTS compiles to a LEFT SEMI join
+      // whose condition carries the equi key (orderkey) PLUS the
+      // cross-side range predicate — so it runs as a keyed hash/merge
+      // semi join with a residual filter, never a nested loop, and the
+      // probe side short-circuits on first match instead of counting
+      // every late line (the join-then-distinct formulation would carry
+      // the full match multiplicity through the shuffle). The rollup then
+      // runs on the bounded priority frame.
+      "q_exists_agg",
+      (s, d) => {
+        tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("late_orders"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS late_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Window-function family + global sort/limit (SURVEY.md §2-B rows 18–22).
   *
   * Scale notes: every window partitions by a real key (nation / customer /
-  * user) so state is distributed; there is no ORDER BY without PARTITION BY
-  * anywhere (a global window would serialize 100 TB through one task).
+  * user) so state is distributed; no ORDER BY-without-PARTITION BY window
+  * ever sees raw rows (a global window would serialize 100 TB through one
+  * task) — q_decile_assign's global ranks come from windows over the
+  * BOUNDED distinct-value frame plus a value-keyed in-value rank.
   * q_sort_limit compiles to TakeOrderedAndProject — per-partition top-N
   * then a K-row driver merge, never a full global sort.
   *
@@ -206,6 +208,56 @@ object Windows {
              |  FROM orders
              |) WHERE rn <= 3
              |ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Global decile assignment WITHOUT a global window — the 100 TB
+      // quantile-bucketing path. ntile(10) OVER (ORDER BY ...) would
+      // serialize the corpus through ONE task; here the global rank
+      // decomposes exactly: a distinct-VALUE frame (bounded by value
+      // cardinality, not row count) carries cumulative counts + the total
+      // via windows over that small frame, each row's in-value rank comes
+      // from a window PARTITIONED by value (keyed, distributed), and
+      // decile = ((start + rn − 1)·10) div N — pure integer, identical on
+      // both engines (the oracle mirrors the arithmetic rather than
+      // ntile, whose remainder-distribution rule differs from the exact
+      // rank formula). Same two-level decomposition as
+      // Pipeline.shardAssign; ties broken by doc_id on both engines.
+      "q_decile_assign",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val wv = Window.orderBy(asc_nulls_first("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+          .withColumn("start", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select("n_chars", "start", "n")
+        val wIn = Window.partitionBy("n_chars").orderBy(asc_nulls_first("doc_id"))
+        docs.join(broadcast(cum), Seq("n_chars"))
+          .withColumn("rn", row_number().over(wIn).cast("long"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("((start + rn - 1) * 10) div n").cast("long").as("decile"))
+          .orderBy(asc_nulls_first("doc_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT n_chars, COUNT(*) AS cnt FROM documents
+             |  GROUP BY n_chars),
+             |c AS (SELECT n_chars,
+             |        CAST(COALESCE(SUM(cnt) OVER (
+             |          ORDER BY n_chars ASC NULLS FIRST
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) AS start,
+             |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+             |      FROM v),
+             |r AS (SELECT doc_id, d.n_chars,
+             |        CAST(row_number() OVER (PARTITION BY d.n_chars
+             |          ORDER BY doc_id ASC NULLS FIRST) AS BIGINT) AS rn,
+             |        start, n
+             |      FROM documents d JOIN c USING (n_chars))
+             |SELECT doc_id, n_chars,
+             |  CAST(((start + rn - 1) * 10) // n AS BIGINT) AS decile
+             |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     )
   )
 }
