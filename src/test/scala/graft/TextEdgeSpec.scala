@@ -199,4 +199,47 @@ class TextEdgeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_bigram_surprisal: 0/1-token docs emit no row; all-unique bigrams score 1 each") {
+    // solo and empty docs have no bigram ⇒ absent from the per-doc frame
+    // (batch lag semantics — no row, not a zero row); doc 3's three
+    // bigrams are all unique and each start token begins exactly one
+    // bigram, so every surprisal is bitlen(1 div 1) = 1.
+    val rows = SparkEntry.queries("q_bigram_surprisal")(spark, tinyDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(3L), s"only the 4-token doc has bigrams: $rows")
+    assert(rows(3L) == ((3L, 3L, 1.0)))
+  }
+
+  test("q_importance_weights: target = whole corpus makes every weight exactly 0") {
+    // tinyDir is all-en, so the target distribution IS the raw
+    // distribution: tcs=rcs per bucket and tt=rt ⇒ the likelihood ratio
+    // is exactly 1 in every bucket ⇒ f(1)−f(1)=0 — the self-calibration
+    // invariant of the signed bitlen form (a float-log formulation would
+    // leave ±ulp residue here).
+    val rows = SparkEntry.queries("q_importance_weights")(spark, tinyDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == ((1L, 0L, 0.0)) && rows(2L) == ((1L, 0L, 0.0)))
+    assert(rows(3L) == ((4L, 0L, 0.0)))
+  }
+
+  test("q_importance_weights: target-exclusive vocabulary ranks target-like docs above the rest") {
+    // DSIR directional sanity: docs built from target(en)-side tokens must
+    // out-score a doc whose vocabulary never appears in the target slice.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dsir").toString
+    Seq(
+      (1L, "alpha beta alpha beta", "en", "s1", 21L),
+      (2L, "alpha beta beta alpha", "en", "s1", 21L),
+      (3L, "zulu yankee zulu yankee", "de", "s2", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = SparkEntry.queries("q_importance_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w(1L) > w(3L) && w(2L) > w(3L),
+      s"en-vocab docs must out-score the de-only-vocab doc: $w")
+  }
 }
