@@ -1449,6 +1449,56 @@ object TextOps {
              |    / CAST(COUNT(*) AS DOUBLE) AS toks_per_doc
              |FROM documents GROUP BY lang
              |ORDER BY lang ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Language-ID confusion census — the eval frame for the q_lang_id
+      // heuristic (same marker-token predictor, one definition in spirit:
+      // the CASE chain is the hash-oracled q_lang_id classifier verbatim):
+      // per (true lang, predicted) doc counts with per-true-lang recall
+      // and per-prediction precision. The grade every classifier change
+      // ships with; counts exact BIGINT, recall/precision each ONE
+      // division over window sums on the bounded ≤(langs × langs+1)
+      // confusion frame.
+      "q_lang_confusion",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        tbl(s, d, "documents")
+          .select(col("lang"),
+            when(padded.contains(" the "), "en")
+              .when(padded.contains(" der "), "de")
+              .when(padded.contains(" el "), "es")
+              .when(padded.contains(" le "), "fr")
+              .otherwise("unk").as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("recall",
+            col("n_docs").cast("double") /
+              sum(col("n_docs")).over(W.partitionBy("lang")).cast("double"))
+          .withColumn("precision",
+            col("n_docs").cast("double") /
+              sum(col("n_docs")).over(W.partitionBy("lang_pred")).cast("double"))
+          .orderBy(asc_nulls_first("lang"), asc_nulls_first("lang_pred"))
+      },
+      Some("""WITH p AS (
+             |  SELECT lang,
+             |    CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+             |         WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+             |         WHEN ' ' || text || ' ' LIKE '% el %' THEN 'es'
+             |         WHEN ' ' || text || ' ' LIKE '% le %' THEN 'fr'
+             |         ELSE 'unk' END AS lang_pred
+             |  FROM documents),
+             |c AS (SELECT lang, lang_pred, COUNT(*) AS n_docs
+             |      FROM p GROUP BY lang, lang_pred)
+             |SELECT lang, lang_pred, n_docs,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+             |        AS DOUBLE) AS recall,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(CAST(SUM(n_docs) OVER (PARTITION BY lang_pred)
+             |        AS BIGINT) AS DOUBLE) AS precision
+             |FROM c
+             |ORDER BY lang ASC NULLS FIRST, lang_pred ASC NULLS FIRST""".stripMargin)
     )
   )
 
