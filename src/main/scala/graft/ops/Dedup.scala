@@ -796,6 +796,43 @@ object Dedup {
              |WHERE d.doc_id >= 20
              |GROUP BY d.source
              |ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Exact-dup cluster-size histogram — the census a dedup run reports
+      // before anyone picks a keep policy (a corpus whose mass sits in
+      // size-50 clusters needs different handling than one of pairs; the
+      // per-doc members are q_dedup_docs_exact's business, this is the
+      // distribution). Two-level rollup: text-keyed cluster sizes in one
+      // map-side-combined shuffle (64-bit text hash as the grouping key —
+      // the q_dedup_exact precedent: strings never shuffle), then the
+      // bounded size histogram with a share-of-corpus window; counts
+      // exact BIGINT, share ONE final division.
+      "q_dup_cluster_sizes",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        tbl(s, d, "documents")
+          .groupBy(xxhash64(col("text")).as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("sz") * col("n_clusters"))
+          .withColumn("doc_share",
+            col("n_docs").cast("double") /
+              sum(col("n_docs")).over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+                .cast("double"))
+          .orderBy(asc_nulls_first("sz"))
+      },
+      Some("""WITH c AS (
+             |  SELECT text, COUNT(*) AS sz FROM documents GROUP BY text),
+             |h AS (SELECT sz, COUNT(*) AS n_clusters,
+             |        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+             |      FROM c GROUP BY sz)
+             |SELECT sz, n_clusters, n_docs,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)
+             |    AS doc_share
+             |FROM h ORDER BY sz ASC NULLS FIRST""".stripMargin)
     )
   )
 }

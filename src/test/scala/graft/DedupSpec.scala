@@ -210,4 +210,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(bloomDense == exact, "even a saturated bitmap must stay exact (verify join)")
   }
+
+  test("q_dup_cluster_sizes accounts every doc and sees the planted dup groups") {
+    // the driver fixture is nearly dup-free (degenerate 1-row histogram),
+    // so exercise the census on the planted-dup generator fixture: sizes
+    // must cover the corpus exactly (Σ n_docs = N), shares sum to 1, and
+    // the planted multi-doc groups appear with their true sizes.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("dupsz").toString
+    graft.tools.DataGen.generate(spark, 0.04, dir)
+    val rows = SparkEntry.queries("q_dup_cluster_sizes")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val n = graft.ops.tbl(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == n, "histogram must account every doc")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "shares must sum to 1")
+    val direct = graft.ops.tbl(spark, dir, "documents")
+      .groupBy("text").count()
+      .groupBy("count").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == direct,
+      "histogram must equal the direct text-keyed computation")
+    assert(rows.exists(_._1 > 1), "generator fixture must plant multi-doc groups")
+  }
 }
