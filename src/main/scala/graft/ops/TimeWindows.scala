@@ -1171,6 +1171,85 @@ object TimeWindows {
              |    AS cum_reach
              |FROM dau LEFT JOIN fs USING (day)
              |ORDER BY day ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Burstiness census per event type — the Fano factor (variance /
+      // mean of DAILY counts; 1 = Poisson-like steady arrivals, >1 =
+      // bursty/clumped, <1 = throttled/regular), the one-number check
+      // that a traffic source behaves organically. Because the variable
+      // is an integer COUNT, the power sums Σn and Σn² are pure BIGINT —
+      // the population variance and the Fano ratio are the only IEEE
+      // steps, in one fixed association mirrored by the oracle. Daily
+      // rollup = one map-side-combined shuffle; the moment fold runs on
+      // the bounded (type × day) frame.
+      "q_burstiness",
+      (s, d) => {
+        tbl(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("n")).as("s1"),
+            sum(col("n") * col("n")).as("s2"))
+          .select(col("event_type"), col("n_days"),
+            col("s1").cast("long").as("n_events"),
+            (col("s1").cast("double") / col("n_days").cast("double"))
+              .as("mean_daily"),
+            (((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double")
+              / (col("n_days") * col("n_days")).cast("double"))
+              / (col("s1").cast("double") / col("n_days").cast("double")))
+              .as("fano"))
+          .orderBy(asc_nulls_first("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS day,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, COUNT(*) AS n_days,
+             |        CAST(SUM(n) AS BIGINT) AS s1,
+             |        CAST(SUM(n * n) AS BIGINT) AS s2
+             |      FROM daily GROUP BY event_type)
+             |SELECT event_type, n_days, s1 AS n_events,
+             |  CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+             |  (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+             |     / CAST(n_days * n_days AS DOUBLE))
+             |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+             |FROM m
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Weekday seasonality profile per event type — counts and
+      // within-type share by day-of-week (the seasonality fingerprint
+      // behind staffing/alert thresholds; flat share = automated traffic,
+      // strong weekday bias = organic). Day-of-week numbering differs
+      // between engines (Spark dayofweek: 1=Sunday…7; DuckDB dayofweek:
+      // 0=Sunday…6) — the oracle adds 1 so the column crosses engines
+      // exactly. One map-side-combined rollup to the bounded
+      // (type × 7) frame; share is ONE division over a window sum.
+      "q_weekday_profile",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        tbl(s, d, "events")
+          .groupBy(col("event_type"),
+            dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("share",
+            col("n_events").cast("double") /
+              sum(col("n_events")).over(W.partitionBy("event_type"))
+                .cast("double"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             |    COUNT(*) AS n_events
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, dow, n_events,
+             |  CAST(n_events AS DOUBLE)
+             |    / CAST(CAST(SUM(n_events) OVER (PARTITION BY event_type)
+             |        AS BIGINT) AS DOUBLE) AS share
+             |FROM c
+             |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin)
     )
   )
 
