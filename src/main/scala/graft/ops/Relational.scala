@@ -324,6 +324,76 @@ object Relational {
              |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // NEAREST as-of (r15): each event takes the order of the same user
+      // with the smallest |o_orderdate − ts| — the sensor-fusion /
+      // reading-alignment third member of the as-of family (backward =
+      // state at event time, forward = attribution target, nearest =
+      // best-aligned measurement). Same sorted-merge scale path as its
+      // siblings, walked BOTH directions over one union — two window
+      // passes per user (one exchange, two sorts), O((|e|+|o|) log),
+      // state one order per row, no theta-join blowup — then a pure
+      // integer-µs distance compare picks the side.
+      // Tie rules (mirrored in the oracle's (|Δ|, side, key) rank): an
+      // equidistant pair prefers the BACKWARD order; an equal-time order
+      // is backward at distance 0; among same-date orders the LOWEST key
+      // wins on both sides (keys sorted so the lowest is processed last
+      // in each walk and overwrites).
+      "q_asof_nearest",
+      (s, d) => {
+        val e = tbl(s, d, "events")
+          .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("o_orderkey"),
+            lit(null).cast("timestamp").as("o_orderdate"))
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate").isNotNull) // dirty-data rule, see q_asof_join
+          .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+            lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey"), col("o_orderdate"))
+        val wBack = Window.partitionBy("user_id")
+          .orderBy(asc_nulls_first("t"), asc_nulls_first("kind"),
+            desc_nulls_last("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFwd = Window.partitionBy("user_id")
+          .orderBy(desc_nulls_last("t"), desc_nulls_last("kind"),
+            desc_nulls_last("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val u = e.unionByName(o)
+          .withColumn("bk_key", last(col("o_orderkey"), ignoreNulls = true).over(wBack))
+          .withColumn("bk_date", last(col("o_orderdate"), ignoreNulls = true).over(wBack))
+          .withColumn("fw_key", last(col("o_orderkey"), ignoreNulls = true).over(wFwd))
+          .withColumn("fw_date", last(col("o_orderdate"), ignoreNulls = true).over(wFwd))
+          .filter(col("kind") === 1)
+        val db = unix_micros(col("t")) - unix_micros(col("bk_date"))
+        val df = unix_micros(col("fw_date")) - unix_micros(col("t"))
+        val useBack = col("bk_date").isNotNull &&
+          (col("fw_date").isNull || db <= df)
+        u.select(col("event_id"), col("user_id"), col("t"),
+            when(useBack, col("bk_key")).otherwise(col("fw_key"))
+              .as("near_orderkey"),
+            when(useBack, col("bk_date")).otherwise(col("fw_date"))
+              .as("near_orderdate"))
+          .withColumn("delta_us",
+            unix_micros(col("near_orderdate")) - unix_micros(col("t")))
+          .drop("t")
+          .transform(df2 => sortOnce(df2)(asc_nulls_first("event_id")))
+      },
+      Some("""SELECT event_id, user_id, near_orderkey, near_orderdate,
+             |       delta_us FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS near_orderkey,
+             |         o.o_orderdate AS near_orderdate,
+             |         epoch_us(o.o_orderdate) - epoch_us(e.ts) AS delta_us,
+             |         row_number() OVER (PARTITION BY e.event_id
+             |           ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts))
+             |                      ASC NULLS LAST,
+             |                    (epoch_us(o.o_orderdate) > epoch_us(e.ts))
+             |                      ASC NULLS LAST,
+             |                    o.o_orderkey ASC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON e.user_id = o.o_custkey AND o.o_orderdate IS NOT NULL
+             |) WHERE rn = 1
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       // SCD Type-2 history reconstruction (r13): treat orders as a
       // change-log per customer and rebuild the slowly-changing-dimension
       // row set — each change is valid from its own date until the NEXT
