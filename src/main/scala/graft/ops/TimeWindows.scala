@@ -1250,6 +1250,59 @@ object TimeWindows {
              |        AS BIGINT) AS DOUBLE) AS share
              |FROM c
              |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Weekly churn census — per week: active users, how many of them do
+      // NOT return the following week, and the churn rate (the retention
+      // complement q_retention_cohorts reads cohort-relative; this is the
+      // calendar view every growth dashboard pairs with q_daily_reach).
+      // The last fixture week is right-CENSORED (its non-returners are
+      // unknowable, not churned) — excluded on both engines via the
+      // 1-row corpus max-week broadcast. Shape: the stream collapses to
+      // the distinct (user, week) frame in one map-side-combined
+      // aggregate; the consecutive-week lead runs per user (keyed), the
+      // week rollup is bounded; counts exact BIGINT, rate ONE division.
+      "q_weekly_churn",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val uw = tbl(s, d, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val wU = W.partitionBy("user_id").orderBy(asc_nulls_first("week"))
+        val maxW = uw.agg(max(col("week")).as("max_week"))
+        uw.withColumn("nxt", lead(col("week"), 1).over(wU))
+          .crossJoin(broadcast(maxW))
+          .filter(col("week") < col("max_week")) // censored final week out
+          .withColumn("churned",
+            col("nxt").isNull || col("nxt") > col("week") + expr("INTERVAL 7 DAYS"))
+          .groupBy(col("week"))
+          .agg(count(lit(1)).as("active"),
+            sum(when(col("churned"), 1L).otherwise(0L)).as("churned"))
+          .select(col("week"), col("active"),
+            col("churned").cast("long").as("churned"),
+            (col("churned").cast("double") / col("active").cast("double"))
+              .as("churn_rate"))
+          .orderBy(asc_nulls_first("week"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+             |  FROM events),
+             |l AS (SELECT user_id, week,
+             |        lead(week, 1) OVER (PARTITION BY user_id
+             |          ORDER BY week ASC NULLS FIRST) AS nxt
+             |      FROM uw),
+             |m AS (SELECT MAX(week) AS max_week FROM uw)
+             |SELECT week, COUNT(*) AS active,
+             |  CAST(SUM(CASE WHEN nxt IS NULL OR nxt > week + INTERVAL 7 DAY
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+             |  CAST(SUM(CASE WHEN nxt IS NULL OR nxt > week + INTERVAL 7 DAY
+             |               THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+             |FROM l CROSS JOIN m
+             |WHERE week < max_week
+             |GROUP BY week
+             |ORDER BY week ASC NULLS FIRST""".stripMargin)
     )
   )
 

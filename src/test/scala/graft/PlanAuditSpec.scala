@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec
     "q_cms_freq_est", // 1-row finished CMS sketch broadcast to 20 probes
     "q_unigram_surprisal", // 1-row corpus total N crossed with the vocab frame
     "q_importance_weights", // 1-row smoothed totals crossed with the ≤4096-bucket frame
+    "q_weekly_churn", // 1-row corpus max-week broadcast (right-censoring cut)
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
