@@ -506,6 +506,41 @@ object Relational {
              |                AND l_shipdate > o_orderdate)
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Salted equi-join (Scale.saltedJoin) — the manual skew path for a
+      // shuffle join whose fact side has a dominant key. AQE's skew-join
+      // split only divides oversized PARTITIONS; when one KEY alone
+      // exceeds an executor (the 100 TB web-crawl case: one host = 30% of
+      // events), the fix is structural: fact rows get salt =
+      // hash(full row id) % 8, the dim side replicates each row to all 8
+      // salts, and the join key becomes (key, salt) — the hot key fans
+      // out into 8 independent reducers. Result-identical to the plain
+      // join by construction, so the key holds a full DuckDB hash oracle
+      // computed the plain way (the salt must change the SHAPE, never
+      // the answer; ScaleSpec additionally pins the ≥-salt-spread of a
+      // planted 50%-hot key). Decimal-exact sum, one map-side-combined
+      // final agg on the bounded priority frame.
+      "q_salted_join",
+      (s, d) => {
+        val fact = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), dec(col("l_quantity")).as("qty_dec"),
+            col("l_linenumber"), col("l_suppkey"))
+        val dim = tbl(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Scale.saltedJoin(fact, dim, "l_orderkey", nSalts = 8,
+            saltCols = Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            asDec(sum(col("qty_dec"))).as("sum_qty"))
+          .orderBy(asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin)
     )
   )
 }

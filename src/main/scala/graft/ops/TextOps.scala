@@ -1499,6 +1499,116 @@ object TextOps {
              |        AS BIGINT) AS DOUBLE) AS precision
              |FROM c
              |ORDER BY lang ASC NULLS FIRST, lang_pred ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Zipf-slope census per source — the rank-frequency fingerprint of
+      // a corpus slice: natural text fits log f ≈ a + s·log r with
+      // s ≈ −1; machine-generated/spammy slices bend the curve (|s| well
+      // off 1, or a flat head). Ranks the per-source vocabulary by
+      // frequency (tiebreak: token ASC — binary collation on both
+      // engines) and fits ordinary least squares over the top-1024 ranks
+      // IN LOG2 BANDS: x = bitlen(rank), y = bitlen(cnt) — the
+      // q_unigram_surprisal integer-log2 idiom — so every OLS sum
+      // (Σx, Σy, Σx², Σxy) is exact BIGINT and slope/intercept are each
+      // ONE correctly-rounded IEEE division of exact integers (a float
+      // ln() OLS would be ulp- and order-dependent across engines). The
+      // slope is base-invariant (both axes share the base), so the −1
+      // reading carries over; banding coarsens, it does not bias.
+      //
+      // Scale shape: token stream → ONE map-side-combined (source, tok)
+      // count; the window ranks the VOCAB frame (≪ stream) per source;
+      // the OLS reduces ≤1024 rows/source. Degenerate slices (<2 rank
+      // bands) yield NULL via nullif, not a divide-by-zero.
+      "q_zipf_slope",
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val cnt = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("cnt"), asc("tok"))
+        cnt.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 1024)
+          .select(col("source"),
+            length(conv(col("rnk"), 10, 2)).cast("long").as("x"),
+            length(conv(col("cnt"), 10, 2)).cast("long").as("y"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"))
+          .select(col("source"), col("n").cast("long").as("n_ranks"),
+            (expr("cast(n*sxy - sx*sy as double)")
+              / expr("cast(nullif(n*sxx - sx*sx, 0) as double)"))
+              .as("zipf_slope"),
+            (expr("cast(sy*sxx - sx*sxy as double)")
+              / expr("cast(nullif(n*sxx - sx*sx, 0) as double)"))
+              .as("zipf_intercept"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, COUNT(*) AS cnt
+             |      FROM t GROUP BY source, tok),
+             |r AS (SELECT source, tok, cnt,
+             |        ROW_NUMBER() OVER (PARTITION BY source
+             |          ORDER BY cnt DESC, tok ASC) AS rnk
+             |      FROM c),
+             |b AS (SELECT source,
+             |        CAST(length(format('{:b}', rnk)) AS BIGINT) AS x,
+             |        CAST(length(format('{:b}', cnt)) AS BIGINT) AS y
+             |      FROM r WHERE rnk <= 1024),
+             |a AS (SELECT source, COUNT(*) AS n,
+             |        CAST(SUM(x) AS BIGINT) AS sx,
+             |        CAST(SUM(y) AS BIGINT) AS sy,
+             |        CAST(SUM(x*x) AS BIGINT) AS sxx,
+             |        CAST(SUM(x*y) AS BIGINT) AS sxy
+             |      FROM b GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+             |  CAST(n*sxy - sx*sy AS DOUBLE)
+             |    / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE) AS zipf_slope,
+             |  CAST(sy*sxx - sx*sxy AS DOUBLE)
+             |    / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE) AS zipf_intercept
+             |FROM a ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // One BPE-training iteration: the top merge candidates — adjacent
+      // character pairs counted across the corpus, weighted by word
+      // frequency. This is the inner loop of byte-pair-encoding tokenizer
+      // training (Sennrich'16): the argmax pair becomes the next merge
+      // rule. Deterministic tiebreak (cnt DESC, pair ASC) makes the whole
+      // top-50 table hash-stable, not just the argmax.
+      //
+      // Scale shape — the reason BPE training is feasible at 100 TB: the
+      // token stream collapses to the VOCAB frame (one map-side-combined
+      // wordcount shuffle) FIRST, and the char-pair explode runs over
+      // unique words weighted by freq — pair generation cost is
+      // O(Σ|unique word|), independent of corpus token count. The pair
+      // frame is ≤ alphabet² and the final top-50 is a TakeOrdered (no
+      // global sort materialization).
+      "q_bpe_merges",
+      (s, d) => {
+        val vocab = tbl(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+        vocab
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").cast("long").as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |v AS (SELECT w, COUNT(*) AS freq FROM t
+             |      WHERE len(w) >= 2 GROUP BY w),
+             |i AS (SELECT w, freq,
+             |        unnest(generate_series(1, len(w) - 1)) AS i
+             |      FROM v),
+             |p AS (SELECT substring(w, i, 2) AS pair, freq FROM i)
+             |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY pair
+             |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin)
     )
   )
 
