@@ -405,4 +405,57 @@ class PlanAuditSpec extends SparkSpec
           s"$name must not plan any join:\n$plan")
       }
   }
+
+  test("q_salted_join shuffles BOTH sides on (key, salt) — the hot key fans out") {
+    // the whole point of the salt: the join's exchange key must include
+    // __salt on both sides, so one dominant l_orderkey spreads over 8
+    // reducers instead of landing on one. A refactor that drops the salt
+    // from the join key (or lets the dim broadcast, bypassing the shuffle
+    // being exercised) silently reverts to the skew-prone plan.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+    try {
+      val plan = query("q_salted_join").queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(l_orderkey#\\d+L?, __salt"
+          .r.findAllIn(plan).size == 2,
+        s"both join inputs must exchange on (l_orderkey, __salt):\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  // The vocab-collapse contract for the r15 tokenizer-training ops: the
+  // corpus-sized token stream must reduce to the vocab frame via a
+  // map-side-combined count BEFORE any window (zipf) or pair explode
+  // (bpe) — i.e. every hash exchange's child is a partial HashAggregate,
+  // mirroring the q_event_funnel invariant. Both scans must also prune
+  // the documents table to exactly the columns they use.
+  Seq(("q_zipf_slope", Seq("source", "text"), Seq("doc_id", "lang", "n_chars")),
+      ("q_bpe_merges", Seq("text"), Seq("doc_id", "lang", "source", "n_chars")))
+    .foreach { case (name, required, forbidden) =>
+      test(s"$name collapses the token stream map-side and prunes the scan") {
+        val plan = query(name).queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toVector
+        lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+          .foreach { case (_, i) =>
+            // partial_ = map-side combine; a final HashAggregate child is
+            // the already-collapsed vocab frame being re-keyed for the
+            // per-source window — combined either way, never raw tokens
+            assert(i + 1 < lines.size && (lines(i + 1).contains("partial_") ||
+                lines(i + 1).contains("HashAggregate(keys=[")),
+              s"$name ships un-combined token rows (line ${i + 1}):\n$plan")
+          }
+        val readSchema = scanMeta(name, "ReadSchema")
+        assert(required.forall(readSchema.contains) &&
+          forbidden.forall(c => !readSchema.contains(c)),
+          s"$name must read only ${required.mkString(",")}: $readSchema")
+      }
+    }
+
+  test("q_bpe_merges takes its top-50 as TakeOrderedAndProject (no global sort)") {
+    val plan = query("q_bpe_merges").queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 merge table must be per-partition top-N + driver merge:\n$plan")
+  }
 }
