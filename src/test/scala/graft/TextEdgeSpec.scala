@@ -242,4 +242,47 @@ class TextEdgeSpec extends SparkSpec {
     assert(w(1L) > w(3L) && w(2L) > w(3L),
       s"en-vocab docs must out-score the de-only-vocab doc: $w")
   }
+
+  test("q_zipf_slope: exact banded OLS on a hand-computed source, NULL on a degenerate one") {
+    // s_many vocab: a:4 b:2 c:1 d:1 → ranks 1..4 (tiebreak tok ASC puts
+    // c before d); x=bitlen(rank)=(1,2,2,3), y=bitlen(cnt)=(3,2,1,1)
+    // → n=4 sx=8 sy=7 sxx=18 sxy=12 → slope=(48-56)/(72-64)=-1.0 exactly,
+    // intercept=(7·18-8·12)/8=3.75. s_one has ONE vocab entry → the OLS
+    // denominator n·sxx-sx² is 0 → NULL via nullif, not a crash.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zipf").toString
+    Seq(
+      (1L, "a a a a b b c d", "en", "s_many", 15L),
+      (2L, "tok tok tok", "en", "s_one", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_zipf_slope")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows("s_many") == ((4L, Some(-1.0), Some(3.75))),
+      s"hand-computed OLS mismatch: ${rows("s_many")}")
+    assert(rows("s_one") == ((1L, None, None)),
+      s"degenerate source must yield NULL slope/intercept: ${rows("s_one")}")
+  }
+
+  test("q_bpe_merges: character-based pairs (multi-byte safe), frequency-weighted, 1-char words excluded") {
+    // "ab"×3 dominates; "héllo" contributes hé/él/ll/lo once each (é is
+    // one CHARACTER — a byte-based substring would split it); "x" (len 1)
+    // generates nothing. Tiebreak on equal counts is pair ASC in BINARY
+    // UTF-8 order (both engines): hé (0x68…) < ll < lo < él (0xC3…).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpe").toString
+    Seq(
+      (1L, "ab ab ab", "en", "s1", 8L),
+      (2L, "héllo x", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.head == (("ab", 3L)), s"argmax merge must be ab×3: ${rows.head}")
+    assert(rows.toSet == Set(("ab", 3L), ("hé", 1L), ("él", 1L),
+      ("ll", 1L), ("lo", 1L)), s"pair set mismatch: ${rows.toSeq}")
+    assert(rows.map(_._1).toSeq == Seq("ab", "hé", "ll", "lo", "él"),
+      s"tie order must be (cnt DESC, pair ASC): ${rows.map(_._1).toSeq}")
+  }
 }
