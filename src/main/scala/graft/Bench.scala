@@ -37,11 +37,14 @@ object Bench {
     // adds the posexplode → combine → sort_array(collect_list) rebuild
     // (measured ~7 s of first-run JIT at sf0.1 against ~1 s warm plan
     // cost — by far the largest cold/warm gap in the inventory).
+    // …and q_bpe_train (r15): the 10-round merge loop's aggregate()-fold
+    // codegen compiles fresh per round shape — ~9 s cold vs ~1.8 s warm
+    // plan cost at sf0.1 (PROFILE_r15), the q_kmeans_update situation.
     Seq("q_sort_limit", "q_agg_group", "q_agg_distinct", "q_window_rank",
         "q_broadcast_join", "q_case_null", "q_explode_tokens",
         "q_json_extract", "q_sim_cosine_lsh", "q_doc_fingerprint",
         "q_embed_clusters", "q_media_decode", "q_kmeans_assign",
-        "q_kmeans_update").foreach { n =>
+        "q_kmeans_update", "q_bpe_train").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }

@@ -1609,6 +1609,27 @@ object TextOps {
              |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
              |FROM p GROUP BY pair
              |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin)
+    ),
+    Q(
+      // Full BPE tokenizer training (graft.ops.Bpe): 10 merge rules
+      // learned by the iterative loop whose single step q_bpe_merges
+      // exposes — per round: pair-count the vocab frame, pull ONE argmax
+      // row to the driver, apply the merge as a codegen'd aggregate()
+      // fold over each word's symbol array. The merge table IS the
+      // tokenizer artifact; deterministic (cnt DESC, a ASC, b ASC)
+      // tiebreak makes it a pure function of the corpus, so BpeSpec pins
+      // it against hand-computed merges (Sennrich'16 corpus) and the
+      // driver records rows-only (iterative driver loop — not
+      // single-statement SQL-expressible).
+      "q_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        Bpe.trainMerges(tbl(s, d, "documents"), nMerges = 10)
+          .map { case (i, a, b, c) => (i.toLong, a, b, a + b, c) }
+          .toDF("merge_idx", "a", "b", "merged", "cnt")
+          .orderBy(asc_nulls_first("merge_idx"))
+      },
+      None
     )
   )
 
