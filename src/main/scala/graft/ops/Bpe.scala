@@ -30,10 +30,18 @@ object Bpe {
     */
   def wordVocab(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("w"))
+      // empty words (split artifacts of repeated/leading whitespace) carry
+      // no pairs AND would trip sequence(1, 0) — which Spark evaluates
+      // DESCENDING as [1, 0], yielding two phantom "" symbols
+      .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"))
+      .select(col("freq"), initialSyms(col("w")).as("syms"))
+
+  /** One symbol per CHARACTER (multi-byte safe). Callers must guarantee
+    * length ≥ 1 (see the wordVocab guard).
+    */
+  def initialSyms(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
 
   /** Adjacent-symbol pair counts over the vocab frame, weighted by word
     * frequency — the merge-candidate table of one BPE iteration.
@@ -87,8 +95,17 @@ object Bpe {
     rules.toSeq
   }
 
+  /** Corpus-scale encode: apply an ordered merge-rule list to a frame
+    * carrying a `syms` array column — each rule is one codegen'd
+    * aggregate() fold, chained as projections (no shuffle, no UDF). Run
+    * it over the VOCAB frame and join counts back, never over the raw
+    * token stream.
+    */
+  def encodeVocab(vocab: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    rules.foldLeft(vocab) { case (v, (a, b)) => applyMerge(v, a, b) }
+
   /** Encode one word with an ordered merge-rule list (test/debug helper;
-    * a production encoder would broadcast the rules and fold per row).
+    * the distributed encoder is encodeVocab).
     */
   def encodeWord(word: String, rules: Seq[(String, String)]): Seq[String] = {
     var syms: Seq[String] = word.map(_.toString)

@@ -1630,6 +1630,38 @@ object TextOps {
           .orderBy(asc_nulls_first("merge_idx"))
       },
       None
+    ),
+    Q(
+      // The apply half of the tokenizer loop: encode the corpus under the
+      // 10 trained merge rules and report per-source fertility
+      // (tokens-per-word under the TRAINED tokenizer — q_token_fertility
+      // is the same census under a fixed regex tokenizer; comparing the
+      // two is the "is training this tokenizer worth it per slice"
+      // question). Scale shape: the only corpus-sized shuffle is the
+      // (source, word) count; the 10 chained merge folds run as codegen
+      // projections over that bounded frame (no UDF, no shuffle, no
+      // re-tokenize of the stream). BpeSpec pins the census against the
+      // driver-side scala encoder word-by-word.
+      "q_bpe_encode",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val rules = Bpe.trainMerges(docs, nMerges = 10).map(r => (r._2, r._3))
+        val sw = docs
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy("source", "w").agg(count(lit(1)).as("n"))
+          .withColumn("syms", Bpe.initialSyms(col("w")))
+        Bpe.encodeVocab(sw, rules)
+          .groupBy("source")
+          .agg(sum(col("n")).cast("long").as("n_words"),
+            sum(size(col("syms")).cast("long") * col("n")).cast("long")
+              .as("n_tokens"))
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("bpe_fertility"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      None
     )
   )
 

@@ -58,6 +58,32 @@ class BpeSpec extends SparkSpec {
     assert(v.collect().head.getSeq[String](1) == Seq("low", "est"))
   }
 
+  test("q_bpe_encode census equals the driver-side encoder word-by-word") {
+    val docs = graft.ops.tbl(spark, corpusDir, "documents")
+    val rules = Bpe.trainMerges(docs, nMerges = 10).map(r => (r._2, r._3))
+    // expected: encode each word with the scala fold, weight by frequency
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val expTokens = freqs.map { case (w, f) =>
+      Bpe.encodeWord(w, rules).length * f }.sum
+    val row = SparkEntry.queries("q_bpe_encode")(spark, corpusDir)
+      .collect().head
+    assert(row.getString(0) == "s1" && row.getLong(1) == 16L &&
+      row.getLong(2) == expTokens &&
+      row.getDouble(3) == expTokens.toDouble / 16.0,
+      s"census mismatch: $row (expected n_tokens=$expTokens)")
+  }
+
+  test("wordVocab drops empty split artifacts (no phantom symbols)") {
+    import spark.implicits._
+    // double space → split yields a "" word; sequence(1,0) is DESCENDING
+    // in Spark, so an unguarded vocab would emit two "" symbols for it
+    val docs = Seq((1L, "a  b", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = Bpe.wordVocab(docs).collect()
+      .map(r => r.getSeq[String](1).mkString("|") -> r.getLong(0)).toMap
+    assert(v == Map("a" -> 1L, "b" -> 1L), s"vocab polluted: $v")
+  }
+
   test("q_bpe_train declared key returns the merge table in merge order") {
     val rows = SparkEntry.queries("q_bpe_train")(spark, corpusDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
