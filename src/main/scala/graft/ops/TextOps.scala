@@ -1642,6 +1642,53 @@ object TextOps {
       // projections over that bounded frame (no UDF, no shuffle, no
       // re-tokenize of the stream). BpeSpec pins the census against the
       // driver-side scala encoder word-by-word.
+      "q_vocab_coverage",
+      (s, d) => {
+        // OOV-rate census at a fixed vocab budget (top-1024 words per
+        // source): what fraction of the token stream a 1024-entry
+        // word-vocab fails to cover — the vocab-sizing / UNK-rate
+        // question a tokenizer budget decision needs, and the companion
+        // to q_zipf_slope over the SAME ranked vocab frame (a steep Zipf
+        // slope predicts low OOV at small budgets; this measures it).
+        // Same scale shape: one map-side-combined (source, tok) count,
+        // the window ranks the vocab frame only, exact integer sums +
+        // ONE final division.
+        val cnt = tbl(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("tok"))
+        cnt.withColumn("rnk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_vocab"),
+            sum("cnt").cast("long").as("total_tokens"),
+            sum(when(col("rnk") <= 1024, col("cnt")).otherwise(lit(0L)))
+              .cast("long").as("covered_tokens"))
+          .select(col("source"), col("n_vocab"), col("total_tokens"),
+            col("covered_tokens"),
+            ((col("total_tokens") - col("covered_tokens")).cast("double")
+              / col("total_tokens").cast("double")).as("oov_rate"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT source, tok, COUNT(*) AS cnt
+             |      FROM t GROUP BY source, tok),
+             |r AS (SELECT source, cnt,
+             |        ROW_NUMBER() OVER (PARTITION BY source
+             |          ORDER BY cnt DESC, tok ASC) AS rnk
+             |      FROM c),
+             |a AS (SELECT source, COUNT(*) AS n_vocab,
+             |        CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             |        CAST(SUM(CASE WHEN rnk <= 1024 THEN cnt ELSE 0 END)
+             |          AS BIGINT) AS covered_tokens
+             |      FROM r GROUP BY source)
+             |SELECT source, n_vocab, total_tokens, covered_tokens,
+             |  CAST(total_tokens - covered_tokens AS DOUBLE)
+             |    / CAST(total_tokens AS DOUBLE) AS oov_rate
+             |FROM a ORDER BY source ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "q_bpe_encode",
       (s, d) => {
         val docs = tbl(s, d, "documents")

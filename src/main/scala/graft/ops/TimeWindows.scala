@@ -1303,6 +1303,60 @@ object TimeWindows {
              |WHERE week < max_week
              |GROUP BY week
              |ORDER BY week ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Inter-arrival-time distribution per event type in log2 bands —
+      // the Poisson-vs-bursty DISTRIBUTION fingerprint (q_burstiness'
+      // Fano factor is the one-number summary; automated traffic shows a
+      // spiked band profile, organic a smooth geometric decay). Gap =
+      // consecutive same-(user, type) event spacing in exact integer µs
+      // (unix_micros ≡ epoch_us); band = bit length of the gap (the
+      // integer-log2 idiom — no float log), so the whole census is
+      // hash-exact. One user-keyed window (the only corpus-sized
+      // shuffle, (tus, event_id) total order); the rollup and the share
+      // window run on the bounded (type × ~40 band) frame.
+      "q_interarrival_bands",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(asc_nulls_first("tus"), asc_nulls_first("event_id"))
+        tbl(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("prev", lag(col("tus"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            length(conv(col("tus") - col("prev"), 10, 2)).cast("long")
+              .as("gap_band"))
+          .groupBy("event_type", "gap_band")
+          .agg(count(lit(1)).as("n_gaps"))
+          .withColumn("share", col("n_gaps").cast("double") /
+            sum(col("n_gaps")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")).cast("double"))
+          .orderBy(asc_nulls_first("event_type"), asc_nulls_first("gap_band"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_us(ts) AS tus
+             |  FROM events),
+             |l AS (SELECT user_id, event_type, tus,
+             |        lag(tus, 1) OVER (PARTITION BY user_id, event_type
+             |          ORDER BY tus ASC NULLS FIRST,
+             |                   event_id ASC NULLS FIRST) AS prev
+             |      FROM e),
+             |g AS (SELECT event_type,
+             |        CAST(length(format('{:b}', tus - prev)) AS BIGINT)
+             |          AS gap_band
+             |      FROM l WHERE prev IS NOT NULL),
+             |c AS (SELECT event_type, gap_band, COUNT(*) AS n_gaps
+             |      FROM g GROUP BY event_type, gap_band)
+             |SELECT event_type, gap_band, n_gaps,
+             |  CAST(n_gaps AS DOUBLE)
+             |    / CAST(CAST(SUM(n_gaps) OVER (PARTITION BY event_type)
+             |        AS BIGINT) AS DOUBLE) AS share
+             |FROM c
+             |ORDER BY event_type ASC NULLS FIRST,
+             |         gap_band ASC NULLS FIRST""".stripMargin)
     )
   )
 
