@@ -20,6 +20,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    // optional comma-separated probe-name filter (args(2)): the sf10
+    // probes each spill tens of GB — rerunning ALL of them to measure one
+    // new probe can fill the disk
+    val only: Set[String] = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,6 +42,7 @@ object ScaleProbe {
     println(s"corpus=$n vectors, autoNBits=$bits")
 
     def time(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         val rows = mk.queryExecution.toRdd.count()
@@ -60,6 +67,12 @@ object ScaleProbe {
       // the COST side of the trade (1x bucket build, (nBits+1)x probe rows)
       graft.ops.Similarity.lshNearDupPairsMultiProbe(emb, nTables = 8,
         knownCount = Some(n))
+    }
+    time("lib_knn_graph_auto") {
+      // the declared q_knn_graph pins nBits=4 for its static oracle SQL —
+      // this probes the production path: auto-sized buckets hold
+      // occupancy ~constant so the candidate distinct grows ~linearly
+      graft.ops.Similarity.knnGraphQuantized(emb, knownCount = Some(n))
     }
     time("lib_semdedup_survivors") {
       val dropped = graft.ops.Dedup.connectedComponents(

@@ -456,4 +456,51 @@ class SimilaritySpec extends SparkSpec {
     assert(a1.count() == n)
     assert(a1.select("cent_id").distinct().count() <= 8L)
   }
+
+  test("q_knn_graph: ranked-prefix of the exact quantized kNN over its candidate set") {
+    import spark.implicits._
+    // the graph's CONTRACT: for each src, the emitted (dst, qdist, rn)
+    // rows are exactly the k best of src's LSH candidate set under
+    // integer quantized-L2 with (qdist, dst) order — verified against a
+    // scala brute force over the same candidates; plus recall vs the
+    // full exact top-3 (candidate coverage, the LSH quality knob).
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    val codes = graft.ops.Similarity.quantizePacked(
+        emb, graft.ops.Similarity.quantizeStats(emb))
+      .as[(Long, Seq[Long])].collect().toMap
+    def qd(a: Long, b: Long): Long =
+      codes(a).zip(codes(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val got = query("q_knn_graph").as[(Long, Long, Long, Long)].collect()
+    // qdist values are the exact integer distances
+    got.foreach { case (s0, d0, q0, _) =>
+      assert(q0 == qd(s0, d0), s"qdist mismatch for ($s0,$d0)") }
+    // per src: rn orders by (qdist, dst) with no gaps
+    got.groupBy(_._1).foreach { case (s0, rows) =>
+      val byRn = rows.sortBy(_._4)
+      assert(byRn.map(_._4).toSeq == (1L to byRn.length).toSeq)
+      val resorted = byRn.sortBy(r => (r._3, r._2))
+      assert(resorted.map(_._2).toSeq == byRn.map(_._2).toSeq,
+        s"rank order must be (qdist, dst) for src $s0")
+    }
+    // recall vs the EXACT top-3 over all vectors (quantized metric)
+    val ids = codes.keys.toSeq.sorted
+    val exact = ids.flatMap { s0 =>
+      ids.filter(_ != s0).map(d0 => (s0, d0, qd(s0, d0)))
+        .sortBy(t => (t._3, t._2)).take(3).map(t => (s0, t._2))
+    }.toSet
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"kNN-graph recall $recall vs exact quantized top-3")
+  }
+
+  test("knnGraphQuantized: dedup-first and fold-in-join strategies are result-identical") {
+    import spark.implicits._
+    val emb = graft.ops.tbl(spark, sfDir, "embeddings")
+    def run(dedupFirst: Boolean) =
+      graft.ops.Similarity.knnGraphQuantized(emb, k = 3, nBits = 5,
+          nTables = 8, dedupFirst = Some(dedupFirst))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(run(true) == run(false),
+      "the strategy knob must change the plan shape, never the graph")
+  }
 }
