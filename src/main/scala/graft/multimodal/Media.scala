@@ -39,6 +39,16 @@ final case class MediaFeatures(
     media_id: Long,
     features: Array[Float])
 
+/** Perceptual 64-bit image hash (dHash over decoded luminance).
+  * `decoded_ok` = the hash comes from real decoded pixels; false marks the
+  * degraded content-bytes fallback for non-decodable payloads, which must
+  * never cluster with genuine pixel hashes.
+  */
+final case class ImageHash(
+    media_id: Long,
+    phash: Long,
+    decoded_ok: Boolean)
+
 /** One sampled frame of a video payload. `frame_idx` is the SAMPLE index
   * (0..n-1 of the requested uniform timestamps); `frame_ms` is the actual
   * timestamp of the decoded frame. `decoded_ok` = the bytes are a real

@@ -105,6 +105,37 @@ object MediaOps {
       }
   }
 
+  /** Perceptual dHash per image row (ImageCodec.dHash64 over real decoded
+    * pixels) — the cheap first tier of image near-dup: lossless
+    * re-encodes and brightness shifts of the same picture collide on the
+    * same 64-bit key (resizes land within a few bits — see the codec
+    * scaladoc), so exact-hash grouping (one map-side-combined shuffle of
+    * 8-byte keys — pixels never shuffle) finds them at any corpus size.
+    * Non-decodable payloads get a content-bytes fallback hash with
+    * decoded_ok=false so they can never cluster with genuine pixel
+    * hashes (the fallback is content-derived, not constant — a million
+    * corrupt rows must not form one giant fake dup cluster).
+    */
+  def perceptualHash(media: Dataset[MediaItem], parallelism: Int = 0): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parted = if (parallelism > 0) media.repartition(parallelism) else media
+    parted
+      .filter(col("media_type").startsWith("image/"))
+      .mapPartitions { it =>
+        it.map { m =>
+          ImageCodec.decode(m.content) match {
+            case Some(img) =>
+              ImageHash(m.media_id, ImageCodec.dHash64(img), decoded_ok = true)
+            case None =>
+              ImageHash(m.media_id,
+                scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+                decoded_ok = false)
+          }
+        }
+      }
+  }
+
   /** Resize: decode, scale the longer side down to `maxSide` preserving
     * aspect (never upscale), re-encode PNG. Already-small images keep their
     * original bytes (no pointless re-encode), which also makes resize
@@ -329,7 +360,7 @@ object MediaOps {
       md.digest().take(12).map("%02x".format(_)).mkString
     }
     val cache = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-media-fixture-v4", // v4: video rows became real MJPEG-AVI
+      "graft-media-fixture-v5", // v5: 8 MB row groups (bounded read batches)
       s"${Paths.get(dir).getFileName}-$fingerprint")
     if (!Files.exists(cache)) synchronized {
       if (!Files.exists(cache)) {
@@ -364,7 +395,19 @@ object MediaOps {
               }
             }
           }
-          .write.mode("overwrite").parquet(tmp.toString)
+          // 8 MB row groups (vs the 128 MB default): the vectorized
+          // parquet reader sizes its batches by min(4096 rows, row
+          // group), and 4096 × multi-KB binary payloads is a ~33 MB
+          // CONTIGUOUS buffer PER TASK — 32 concurrent scan tasks OOMed
+          // an 8 GB heap at the sf10 fixture (4.2 GB of payloads).
+          // Small row groups bound the batch by construction, at the
+          // write side, with no session-wide columnarReaderBatchSize
+          // cut (measured 5-13% scan regression on narrow tables).
+          // THE 100 TB rule this encodes: media lakes size row groups
+          // for the ROW WIDTH, not the default tuned for scalar rows.
+          .write.mode("overwrite")
+          .option("parquet.block.size", (8L * 1024 * 1024).toString)
+          .parquet(tmp.toString)
         try Files.move(tmp, cache, StandardCopyOption.ATOMIC_MOVE)
         catch { // lost a cross-JVM race: the winner's cache is equivalent
           case _: Exception if Files.exists(cache) =>

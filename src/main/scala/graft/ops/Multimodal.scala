@@ -92,6 +92,30 @@ object Multimodal {
           .orderBy(asc_nulls_first("probe_id"), asc_nulls_first("rn"))
       },
       None
+    ),
+    Q(
+      // Perceptual image-dedup census: dHash64 over real decoded pixels
+      // (MediaOps.perceptualHash — lossless re-encode/brightness variants
+      // of one picture collide on the same 64-bit key; resizes land
+      // within a few bits, the Hamming-join tier), then exact-hash
+      // grouping. The scale shape is the whole point: after the one codec
+      // pass, only 8-byte hashes shuffle (one map-side-combined agg) —
+      // image near-dup at 100 TB without pixels ever crossing the wire.
+      // decoded_ok=false fallbacks are excluded (fabricated hashes must
+      // not cluster with genuine pixel hashes). Invariance + fallback
+      // semantics pinned in MultimodalSpec; no SQL oracle (JDK codec).
+      "q_media_phash_dup",
+      (s, d) => {
+        MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
+            parallelism = s.sessionState.conf.numShufflePartitions)
+          .toDF()
+          .filter(col("decoded_ok"))
+          .groupBy("phash")
+          .agg(count(lit(1)).as("n_images"),
+            min(col("media_id")).as("canonical_id"))
+          .orderBy(asc_nulls_first("phash"))
+      },
+      None
     )
   )
 }

@@ -426,4 +426,60 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.maxBy(_._2)._1 == 61L,
       s"planted near-dup must rank first by cosine: $sims")
   }
+
+  test("dHash64 is resize- and re-encode-invariant, discriminates content, crops break it") {
+    val png = ImageCodec.synthPng(42L, 64, 48)
+    val img = ImageCodec.decode(png).get
+    val h0 = ImageCodec.dHash64(img)
+    // lossless re-encode (identical pixels): hash EXACTLY equal
+    val reenc = ImageCodec.decode(ImageCodec.encodePng(img)).get
+    assert(ImageCodec.dHash64(reenc) == h0, "lossless re-encode must not change the hash")
+    // 2x bilinear upscale: ROBUST, not exact — interpolation flips a few
+    // near-threshold comparisons (measured 3 bits on this fixture)
+    val scaled = ImageCodec.decode(
+      ImageCodec.encodePng(ImageCodec.scaleTo(img, 128, 96))).get
+    val rdist = java.lang.Long.bitCount(h0 ^ ImageCodec.dHash64(scaled))
+    assert(rdist <= 4, s"2x resize must stay within a few bits, got $rdist")
+    // different content hashes differently (Hamming distance well off 0)
+    val other = ImageCodec.decode(ImageCodec.synthPng(43L, 64, 48)).get
+    val dist = java.lang.Long.bitCount(h0 ^ ImageCodec.dHash64(other))
+    assert(dist >= 8, s"distinct synth images must differ in many bits, got $dist")
+    // a hard crop shifts the luma grid: expected to break (documented)
+    val crop = img.getSubimage(8, 8, 48, 32)
+    assert(ImageCodec.dHash64(crop) != h0)
+  }
+
+  test("perceptualHash clusters a planted re-encoded dup; fallbacks never join pixel clusters") {
+    val png = ImageCodec.synthPng(7L, 40, 30)
+    val img = ImageCodec.decode(png).get
+    // pixel-identical re-encode: the exact-hash tier's guaranteed collision
+    val reenc = ImageCodec.encodePng(img)
+    val hashes = MediaOps.perceptualHash(Seq(
+        item(1L, "image/png", png),
+        item(2L, "image/png", reenc),
+        item(3L, "image/png", ImageCodec.synthPng(8L, 40, 30)),
+        item(4L, "image/png", Array[Byte](1, 2, 3)), // corrupt
+        item(5L, "audio/wav", png)). // wrong modality: filtered out
+        toDS())
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(hashes(1L).decoded_ok && hashes(2L).decoded_ok && hashes(3L).decoded_ok)
+    assert(hashes(1L).phash == hashes(2L).phash, "planted dup must collide")
+    assert(hashes(1L).phash != hashes(3L).phash, "distinct content must not")
+    assert(!hashes(4L).decoded_ok, "corrupt payload takes the marked fallback")
+  }
+
+  test("q_media_phash_dup: canonical ids are cluster minima over decoded images only") {
+    val rows = query("q_media_phash_dup").collect()
+    assert(rows.nonEmpty)
+    val decoded = MediaOps.perceptualHash(media).collect()
+      .filter(_.decoded_ok)
+    assert(rows.map(_.getLong(1)).sum == decoded.length,
+      "census must cover every decoded image exactly once")
+    val byHash = decoded.groupBy(_.phash)
+    rows.foreach { r =>
+      assert(r.getLong(2) == byHash(r.getLong(0)).map(_.media_id).min,
+        s"canonical_id must be the cluster min for hash ${r.getLong(0)}")
+    }
+  }
 }
