@@ -3,7 +3,7 @@ package graft.multimodal
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batched multimodal operators over MediaItem datasets.
@@ -134,6 +134,39 @@ object MediaOps {
           }
         }
       }
+  }
+
+  /** The Hamming tier over [[perceptualHash]]: pairs of decoded images
+    * whose dHashes differ in ≤ maxHamming bits — catches the resized /
+    * slightly-altered variants exact-hash grouping misses. Candidate
+    * generation is pigeonhole banding (the 64-bit hash splits into 4
+    * 16-bit bands; d ≤ 3 < 4 bands guarantees two hashes within d share
+    * at least one UNTOUCHED band — recall 1.0, no LSH luck involved),
+    * so the join is band-keyed equi (one 10-byte-key shuffle), never
+    * all-pairs; the exact popcount filter then keeps precision 1.0.
+    * maxHamming must stay < 4 for the guarantee; the band count is the
+    * knob to raise for looser thresholds.
+    */
+  def phashNearDupPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole over 4 bands guarantees recall only for d < 4, got $maxHamming")
+    val ok = hashes.toDF().filter(col("decoded_ok"))
+      .select(col("media_id"), col("phash"))
+    val banded = ok.select(col("media_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(phash, b * 16) & 65535 AS key))"))
+        .as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(expr("a.phash").bitwiseXOR(expr("b.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair shares several untouched bands
   }
 
   /** Resize: decode, scale the longer side down to `maxSide` preserving

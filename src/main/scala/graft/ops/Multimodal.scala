@@ -116,6 +116,25 @@ object Multimodal {
           .orderBy(asc_nulls_first("phash"))
       },
       None
+    ),
+    Q(
+      // The Hamming tier (MediaOps.phashNearDupPairs): image pairs within
+      // 3 bits of perceptual distance — the resized/slightly-altered dups
+      // the exact-hash census misses. Pigeonhole banding (4×16-bit bands,
+      // d<4 ⇒ one band untouched) makes candidate generation a band-keyed
+      // equi-join with guaranteed recall 1.0 — no LSH luck — and the
+      // popcount filter keeps precision 1.0; only (hash, band) keys
+      // shuffle. The fixture's planted text dups synthesize identical
+      // images, so distance-0 pairs exist at every scale. Banding
+      // guarantee + planted-resize recall pinned in MultimodalSpec.
+      "q_media_phash_neardup",
+      (s, d) => {
+        MediaOps.phashNearDupPairs(
+            MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions))
+          .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
+      },
+      None
     )
   )
 }

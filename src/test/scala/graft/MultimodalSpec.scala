@@ -469,6 +469,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!hashes(4L).decoded_ok, "corrupt payload takes the marked fallback")
   }
 
+  test("phashNearDupPairs finds a planted resized dup with exact recall over <=3-bit pairs") {
+    val png = ImageCodec.synthPng(11L, 64, 48)
+    val img = ImageCodec.decode(png).get
+    // 2x upscale: a genuine near-dup (measured a few bits away, <= 3)
+    val resized = ImageCodec.encodePng(ImageCodec.scaleTo(img, 128, 96))
+    val items = Seq(
+      item(1L, "image/png", png),
+      item(2L, "image/png", resized),
+      item(3L, "image/png", ImageCodec.synthPng(12L, 64, 48)),
+      item(4L, "image/png", Array[Byte](9, 9))) // corrupt: excluded
+    val hashes = MediaOps.perceptualHash(items.toDS())
+    val pairs = MediaOps.phashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"planted resize pair must surface: ${pairs.toSeq}")
+    // exact contract: the pair set IS the brute-force <=3 set over ok rows
+    val hs = hashes.collect().filter(_.decoded_ok).map(h => h.media_id -> h.phash)
+    val brute = (for {
+      (ai, ah) <- hs; (bi, bh) <- hs if ai < bi
+      d = java.lang.Long.bitCount(ah ^ bh) if d <= 3
+    } yield (ai, bi, d.toLong)).toSet
+    assert(pairs.toSet == brute, s"banding must lose nothing: ${pairs.toSeq} vs $brute")
+  }
+
   test("q_media_phash_dup: canonical ids are cluster minima over decoded images only") {
     val rows = query("q_media_phash_dup").collect()
     assert(rows.nonEmpty)
