@@ -255,6 +255,36 @@ object AudioCodec {
     if (nrm > 0) out.map(v => (v / nrm).toFloat) else out
   }
 
+  /** 64-bit spectral fingerprint over DECODED samples: 8 equal time
+    * frames × 8 Goertzel bands; bit f·8+b = 1 iff energy(f, b) >
+    * energy(f, (b+1) mod 8). Comparing energies WITHIN a frame makes it
+    * volume-invariant (a gain scales every band of the frame equally)
+    * and, operating on decoded PCM, encoding-invariant — a lossless
+    * re-encode hashes exactly equal. The audio analog of
+    * ImageCodec.dHash64, and the same cheap-first-tier caveat: trims and
+    * resampling land NEAR (few bits), time shifts break it by design.
+    */
+  def audioHash64(samples: Array[Double], nFrames: Int = 8,
+      nBands: Int = 8): Long = {
+    require(nFrames * nBands <= 64, "fingerprint must fit 64 bits")
+    var h = 0L
+    val n = samples.length
+    var f = 0
+    while (f < nFrames) {
+      val from = (n.toLong * f / nFrames).toInt
+      val until = (n.toLong * (f + 1) / nFrames).toInt
+      val e = bandEnergies(java.util.Arrays.copyOfRange(samples, from, until),
+        nBands)
+      var b = 0
+      while (b < nBands) {
+        if (e(b) > e((b + 1) % nBands)) h |= 1L << (f * nBands + b)
+        b += 1
+      }
+      f += 1
+    }
+    h
+  }
+
   /** Deterministic test tone: two seeded harmonics, amplitude < 1. */
   def synthWav(seed: Long, nSamples: Int, hz: Int): Array[Byte] = {
     val f1 = 100.0 + math.floorMod(seed, 300)

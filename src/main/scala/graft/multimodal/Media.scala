@@ -49,6 +49,14 @@ final case class ImageHash(
     phash: Long,
     decoded_ok: Boolean)
 
+/** Perceptual 64-bit audio fingerprint (AudioCodec.audioHash64 over
+  * decoded PCM). Same fallback contract as [[ImageHash]].
+  */
+final case class AudioHash(
+    media_id: Long,
+    ahash: Long,
+    decoded_ok: Boolean)
+
 /** One sampled frame of a video payload. `frame_idx` is the SAMPLE index
   * (0..n-1 of the requested uniform timestamps); `frame_ms` is the actual
   * timestamp of the decoded frame. `decoded_ok` = the bytes are a real

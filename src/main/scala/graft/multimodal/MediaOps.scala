@@ -136,6 +136,32 @@ object MediaOps {
       }
   }
 
+  /** Audio twin of [[perceptualHash]]: AudioCodec.audioHash64 over real
+    * decoded PCM — volume- and encoding-invariant spectral fingerprint,
+    * same 8-byte-keys-only shuffle shape and the same content-derived
+    * fallback contract for payloads the WAV codec rejects.
+    */
+  def audioFingerprint(media: Dataset[MediaItem], parallelism: Int = 0): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parted = if (parallelism > 0) media.repartition(parallelism) else media
+    parted
+      .filter(col("media_type").startsWith("audio/"))
+      .mapPartitions { it =>
+        it.map { m =>
+          AudioCodec.decodeWavPcm16(m.content) match {
+            case Some((samples, _)) =>
+              AudioHash(m.media_id, AudioCodec.audioHash64(samples),
+                decoded_ok = true)
+            case None =>
+              AudioHash(m.media_id,
+                scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+                decoded_ok = false)
+          }
+        }
+      }
+  }
+
   /** The Hamming tier over [[perceptualHash]]: pairs of decoded images
     * whose dHashes differ in ≤ maxHamming bits — catches the resized /
     * slightly-altered variants exact-hash grouping misses. Candidate

@@ -135,6 +135,26 @@ object Multimodal {
           .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
       },
       None
+    ),
+    Q(
+      // Audio-dedup census: AudioCodec.audioHash64 over real decoded PCM
+      // (MediaOps.audioFingerprint) — volume- and encoding-invariant
+      // spectral fingerprint, exact-hash grouping; after the one codec
+      // pass only 8-byte hashes shuffle. Fallback rows excluded, same
+      // contract as the image census. Invariances pinned in
+      // MultimodalSpec; no SQL oracle (JDK codec).
+      "q_media_ahash_dup",
+      (s, d) => {
+        MediaOps.audioFingerprint(MediaOps.mediaFromDocuments(s, d),
+            parallelism = s.sessionState.conf.numShufflePartitions)
+          .toDF()
+          .filter(col("decoded_ok"))
+          .groupBy("ahash")
+          .agg(count(lit(1)).as("n_clips"),
+            min(col("media_id")).as("canonical_id"))
+          .orderBy(asc_nulls_first("ahash"))
+      },
+      None
     )
   )
 }

@@ -493,6 +493,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet == brute, s"banding must lose nothing: ${pairs.toSeq} vs $brute")
   }
 
+  test("audioHash64 is volume- and re-encode-invariant, content-discriminating") {
+    val wav = AudioCodec.synthWav(21L, 8000, 4000)
+    val (samples, hz) = AudioCodec.decodeWavPcm16(wav).get
+    val h0 = AudioCodec.audioHash64(samples)
+    // lossless re-encode: 16-bit PCM roundtrips exactly -> exact hash
+    val reenc = AudioCodec.decodeWavPcm16(
+      AudioCodec.encodeWavPcm16(samples, hz)).get._1
+    assert(AudioCodec.audioHash64(reenc) == h0)
+    // half volume: within-frame band comparisons are gain-invariant; the
+    // 16-bit requantization can flip only near-tie bits
+    val half = AudioCodec.decodeWavPcm16(
+      AudioCodec.encodeWavPcm16(samples.map(_ * 0.5), hz)).get._1
+    val vdist = java.lang.Long.bitCount(h0 ^ AudioCodec.audioHash64(half))
+    assert(vdist <= 2, s"volume change must stay within near-tie bits, got $vdist")
+    // a different tone hashes far away
+    val other = AudioCodec.decodeWavPcm16(AudioCodec.synthWav(22L, 8000, 4000)).get._1
+    val dist = java.lang.Long.bitCount(h0 ^ AudioCodec.audioHash64(other))
+    assert(dist >= 8, s"distinct tones must differ in many bits, got $dist")
+  }
+
+  test("audioFingerprint: audio-only, real decode flag, fallback for corrupt payloads") {
+    val wav = AudioCodec.synthWav(5L, 4000, 4000)
+    val hashes = MediaOps.audioFingerprint(Seq(
+        item(1L, "audio/wav", wav),
+        item(2L, "audio/wav", wav), // exact dup
+        item(3L, "audio/wav", Array[Byte](0, 1, 2)), // corrupt
+        item(4L, "image/png", wav)). // wrong modality: filtered out
+        toDS())
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L).decoded_ok && hashes(1L).ahash == hashes(2L).ahash)
+    assert(!hashes(3L).decoded_ok)
+  }
+
   test("q_media_phash_dup: canonical ids are cluster minima over decoded images only") {
     val rows = query("q_media_phash_dup").collect()
     assert(rows.nonEmpty)
