@@ -57,6 +57,14 @@ final case class AudioHash(
     ahash: Long,
     decoded_ok: Boolean)
 
+/** Perceptual 64-bit video fingerprint (order-sensitive mix of sampled
+  * frames' dHashes). Same fallback contract as [[ImageHash]].
+  */
+final case class VideoHash(
+    media_id: Long,
+    vhash: Long,
+    decoded_ok: Boolean)
+
 /** One sampled frame of a video payload. `frame_idx` is the SAMPLE index
   * (0..n-1 of the requested uniform timestamps); `frame_ms` is the actual
   * timestamp of the decoded frame. `decoded_ok` = the bytes are a real

@@ -162,6 +162,45 @@ object MediaOps {
       }
   }
 
+  /** Video member of the fingerprint family: dHash64 of up to 4
+    * uniformly-sampled REAL demuxed frames, mixed order-sensitively into
+    * one 64-bit key (a reversed clip must not collide). Container
+    * re-muxes of the same frame JPEGs hash exactly equal (the demuxer
+    * returns the embedded bytes verbatim); payloads that do not demux —
+    * or demux to zero decodable frames — take the content-derived
+    * fallback with decoded_ok=false, never an empty-fold constant (all
+    * corrupt clips colliding on one fake cluster).
+    */
+  def videoFingerprint(media: Dataset[MediaItem], nFrames: Int = 4,
+      parallelism: Int = 0): Dataset[VideoHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parted = if (parallelism > 0) media.repartition(parallelism) else media
+    parted
+      .filter(col("media_type").startsWith("video/"))
+      .mapPartitions { it =>
+        it.map { m =>
+          val frameHashes = VideoCodec.demux(m.content).toSeq.flatMap { s =>
+            val dur = math.max(1L, s.durationMs)
+            (0 until nFrames).flatMap { i =>
+              val idx = s.frameIndexAt(dur * i / nFrames)
+              ImageCodec.decode(VideoCodec.frameBytes(m.content, s, idx))
+                .map(ImageCodec.dHash64)
+            }
+          }
+          if (frameHashes.nonEmpty) {
+            // order-sensitive mix (golden-ratio rotate-xor fold)
+            val h = frameHashes.foldLeft(0x9e3779b97f4a7c15L) { (acc, fh) =>
+              java.lang.Long.rotateLeft(acc, 7) ^ (fh * 0xc2b2ae3d27d4eb4fL)
+            }
+            VideoHash(m.media_id, h, decoded_ok = true)
+          } else VideoHash(m.media_id,
+            scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+            decoded_ok = false)
+        }
+      }
+  }
+
   /** The Hamming tier over [[perceptualHash]]: pairs of decoded images
     * whose dHashes differ in ≤ maxHamming bits — catches the resized /
     * slightly-altered variants exact-hash grouping misses. Candidate

@@ -155,6 +155,26 @@ object Multimodal {
           .orderBy(asc_nulls_first("ahash"))
       },
       None
+    ),
+    Q(
+      // Video-dedup census completing the modality triple: per clip, the
+      // dHashes of 4 uniformly-sampled REAL demuxed frames mix
+      // order-sensitively into one 64-bit key (MediaOps.videoFingerprint
+      // — a reversed clip must not collide), then the same exact-hash
+      // census shape: one codec pass, 8-byte keys on the wire. Fallback
+      // (non-demuxable / zero decodable frames) rows excluded.
+      "q_media_vhash_dup",
+      (s, d) => {
+        MediaOps.videoFingerprint(MediaOps.mediaFromDocuments(s, d),
+            parallelism = s.sessionState.conf.numShufflePartitions)
+          .toDF()
+          .filter(col("decoded_ok"))
+          .groupBy("vhash")
+          .agg(count(lit(1)).as("n_clips"),
+            min(col("media_id")).as("canonical_id"))
+          .orderBy(asc_nulls_first("vhash"))
+      },
+      None
     )
   )
 }

@@ -527,6 +527,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!hashes(3L).decoded_ok)
   }
 
+  test("videoFingerprint: re-mux-invariant, order-sensitive, corrupt payloads fall back") {
+    // a real MJPEG-AVI; re-muxing the SAME frame JPEGs must hash equal,
+    // the REVERSED clip must not (order-sensitive mix)
+    val avi = VideoCodec.synthMjpegAvi(31L, 32, 32, 5, 10)
+    val st = VideoCodec.demux(avi).get
+    val frames = (0 until st.nFrames).map(i => VideoCodec.frameBytes(avi, st, i))
+    val remux = VideoCodec.muxMjpegAvi(frames, 32, 32, 10)
+    val rev = VideoCodec.muxMjpegAvi(frames.reverse, 32, 32, 10)
+    val hs = MediaOps.videoFingerprint(Seq(
+        item(1L, "video/avi", avi),
+        item(2L, "video/avi", remux),
+        item(3L, "video/avi", rev),
+        item(4L, "video/avi", Array[Byte](1, 2, 3))).toDS())
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hs(1L).decoded_ok && hs(1L).vhash == hs(2L).vhash,
+      "container re-mux of identical frames must collide")
+    assert(hs(1L).vhash != hs(3L).vhash, "reversed clip must not collide")
+    assert(!hs(4L).decoded_ok, "non-demuxable payload takes the fallback")
+  }
+
   test("q_media_phash_dup: canonical ids are cluster minima over decoded images only") {
     val rows = query("q_media_phash_dup").collect()
     assert(rows.nonEmpty)
