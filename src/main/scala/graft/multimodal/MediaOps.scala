@@ -213,22 +213,41 @@ object MediaOps {
     * knob to raise for looser thresholds.
     */
   def phashNearDupPairs(hashes: Dataset[ImageHash],
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes.toDF().filter(col("decoded_ok")),
+      "phash", maxHamming)
+
+  /** Audio/video faces of the same tier (the banding is hash-agnostic). */
+  def ahashNearDupPairs(hashes: Dataset[AudioHash],
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes.toDF().filter(col("decoded_ok")),
+      "ahash", maxHamming)
+  def vhashNearDupPairs(hashes: Dataset[VideoHash],
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes.toDF().filter(col("decoded_ok")),
+      "vhash", maxHamming)
+
+  /** Hash-agnostic core of the Hamming tier: expects (media_id,
+    * `hashCol`) rows — callers filter fallback rows FIRST (the typed
+    * wrappers do). Pigeonhole over 4×16-bit bands ⇒ guaranteed recall
+    * for d < 4; see [[phashNearDupPairs]]'s scaladoc for the argument.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole over 4 bands guarantees recall only for d < 4, got $maxHamming")
-    val ok = hashes.toDF().filter(col("decoded_ok"))
-      .select(col("media_id"), col("phash"))
-    val banded = ok.select(col("media_id"), col("phash"),
+    val ok = hashes.select(col("media_id"), col(hashCol).as("h"))
+    val banded = ok.select(col("media_id"), col("h"),
       explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b AS band, shiftright(phash, b * 16) & 65535 AS key))"))
+        "struct(b AS band, shiftright(h, b * 16) & 65535 AS key))"))
         .as("bk"))
-      .select(col("media_id"), col("phash"),
+      .select(col("media_id"), col("h"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
-        bit_count(expr("a.phash").bitwiseXOR(expr("b.phash")))
+        bit_count(expr("a.h").bitwiseXOR(expr("b.h")))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a close pair shares several untouched bands

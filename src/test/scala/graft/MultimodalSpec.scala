@@ -547,6 +547,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!hs(4L).decoded_ok, "non-demuxable payload takes the fallback")
   }
 
+  test("hammingNearDupPairs (generic core): exact <=d set on synthetic hashes, all band positions") {
+    import spark.implicits._
+    // one flip in each of the 4 band positions (pinning every band's
+    // key extraction), plus a d=4 row with one flip PER band — no band
+    // untouched, so candidate generation alone would drop it, which is
+    // exactly right because d=4 > maxHamming — and a far-away row
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ 1L), // band 0, d=1
+      (3L, base ^ (1L << 17)), // band 1, d=1
+      (4L, base ^ (1L << 33) ^ (1L << 34)), // band 2, d=2
+      (5L, base ^ (1L << 63) ^ (1L << 62) ^ (1L << 61)), // band 3, d=3
+      (6L, base ^ 1L ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), // d=4: out
+      (7L, ~base)) // far away
+      .toDF("media_id", "h")
+    val got = MediaOps.hammingNearDupPairs(rows, "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = Seq(1L -> base, 2L -> (base ^ 1L), 3L -> (base ^ (1L << 17)),
+      4L -> (base ^ (1L << 33) ^ (1L << 34)),
+      5L -> (base ^ (1L << 63) ^ (1L << 62) ^ (1L << 61)),
+      6L -> (base ^ 1L ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), 7L -> ~base)
+    val brute = (for {
+      (ai, ah) <- hs; (bi, bh) <- hs if ai < bi
+      d = java.lang.Long.bitCount(ah ^ bh) if d <= 3
+    } yield (ai, bi, d.toLong)).toSet
+    assert(got == brute, s"generic tier must equal brute force: $got vs $brute")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L), "d=4 pair stays out")
+  }
+
   test("q_media_phash_dup: canonical ids are cluster minima over decoded images only") {
     val rows = query("q_media_phash_dup").collect()
     assert(rows.nonEmpty)
