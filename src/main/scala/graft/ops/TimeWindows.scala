@@ -1357,6 +1357,78 @@ object TimeWindows {
              |FROM c
              |ORDER BY event_type ASC NULLS FIRST,
              |         gap_band ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Cross-type daily-count Pearson correlation census — which event
+      // types move together day over day (co-moving = the same acquisition
+      // funnel or the same bot; anti-moving = substitution). Exact across
+      // engines because every Pearson sum (n, Σx, Σy, Σx², Σy², Σxy) is a
+      // BIGINT over integer daily counts — r's numerator/denominator are
+      // then exact integers and the result is sqrt+sqrt+divide, three
+      // correctly-rounded IEEE ops with fixed association. Days with no
+      // events of a type count as 0 via a dense (day × type) grid (an
+      // inner join on observed days only would bias r upward). Scale
+      // shape: ONE map-side-combined (day, type) count, the grid and the
+      // |type|²-bounded pair frame never touch the event stream.
+      "q_type_corr",
+      (s, d) => {
+        val counts = tbl(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false) // feeds grid spine + both sides
+        val days = counts.select("day").distinct()
+        val types = counts.select("event_type").distinct()
+        // broadcast: the type frame is |event_type|-bounded (single-digit
+        // rows) — the grid cross is a BNLJ against it, never a cartesian
+        val grid = days.crossJoin(broadcast(types))
+          .join(counts, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val a = grid.select(col("day"), col("event_type").as("ta"),
+          col("n").as("x"))
+        val b = grid.select(col("day"), col("event_type").as("tb"),
+          col("n").as("y"))
+        a.join(b, "day").filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n_days"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
+            sum(expr("x*y")).as("sxy"))
+          // nullif: a zero-variance type (constant daily count) yields a
+          // 0 denominator — r is UNDEFINED there, and NaN/Inf would also
+          // hash differently across engines; NULL is the portable answer
+          .withColumn("den",
+            sqrt(expr("cast(n_days*sxx - sx*sx as double)"))
+              * sqrt(expr("cast(n_days*syy - sy*sy as double)")))
+          .select(col("ta"), col("tb"), col("n_days").cast("long").as("n_days"),
+            (expr("cast(n_days*sxy - sx*sy as double)")
+              / expr("nullif(den, 0.0d)")).as("pearson_r"))
+          .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+             |  FROM events GROUP BY day, event_type),
+             |g AS (
+             |  SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+             |  FROM (SELECT DISTINCT day FROM c) d
+             |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+             |  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type),
+             |p AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    COUNT(*) AS n_days,
+             |    CAST(SUM(a.n) AS BIGINT) AS sx,
+             |    CAST(SUM(b.n) AS BIGINT) AS sy,
+             |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+             |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy,
+             |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+             |  FROM g a JOIN g b ON a.day = b.day AND a.event_type < b.event_type
+             |  GROUP BY ta, tb)
+             |SELECT ta, tb, n_days,
+             |  CAST(n_days*sxy - sx*sy AS DOUBLE)
+             |    / NULLIF(sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE))
+             |       * sqrt(CAST(n_days*syy - sy*sy AS DOUBLE)), 0) AS pearson_r
+             |FROM p
+             |ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""".stripMargin)
     )
   )
 

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec
     "q_unigram_surprisal", // 1-row corpus total N crossed with the vocab frame
     "q_importance_weights", // 1-row smoothed totals crossed with the ≤4096-bucket frame
     "q_weekly_churn", // 1-row corpus max-week broadcast (right-censoring cut)
+    "q_type_corr", // |event_type|-row type frame broadcast (grid spine)
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 
