@@ -1429,6 +1429,58 @@ object TimeWindows {
              |       * sqrt(CAST(n_days*syy - sy*sy AS DOUBLE)), 0) AS pearson_r
              |FROM p
              |ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Cross-type USER-grain co-occurrence with lift — the item-item
+      // collaborative-filtering primitive (which event types the same
+      // users touch), complementing q_type_corr's DAY-grain correlation:
+      // correlation sees co-moving volume, lift sees shared audiences.
+      // lift = P(a∧b)/(P(a)·P(b)) = n_shared·N_users / (n_a·n_b): both
+      // products are exact BIGINT, the quotient is ONE correctly-rounded
+      // IEEE division — hash-exact. Scale shape: the event stream
+      // collapses to the distinct (user, type) frame in one map-side-
+      // combined shuffle; the self-join fans out ≤ |types|² rows PER USER
+      // (types is single-digit) and reduces map-side into the bounded
+      // pair frame; per-type counts and the 1-row user total broadcast.
+      "q_cooccur_types",
+      (s, d) => {
+        val ut = tbl(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint(eager = false) // feeds pair join + both totals
+        val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val nu = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("nu"))
+        val pairs = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(broadcast(tc.select(col("event_type").as("ta"), col("n").as("na"))), "ta")
+          .join(broadcast(tc.select(col("event_type").as("tb"), col("n").as("nb"))), "tb")
+          .crossJoin(broadcast(nu))
+          .select(col("ta"), col("tb"), col("n_shared"),
+            (expr("cast(n_shared * nu as double)")
+              / expr("cast(na * nb as double)")).as("lift"))
+          .orderBy(asc_nulls_first("ta"), asc_nulls_first("tb"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |tc AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+             |nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+             |p AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    COUNT(*) AS n_shared
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, CAST(n_shared AS BIGINT) AS n_shared,
+             |  CAST(n_shared * nu.nu AS DOUBLE)
+             |    / CAST(ca.n * cb.n AS DOUBLE) AS lift
+             |FROM p
+             |CROSS JOIN nu
+             |JOIN tc ca ON ca.event_type = p.ta
+             |JOIN tc cb ON cb.event_type = p.tb
+             |ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""".stripMargin)
     )
   )
 

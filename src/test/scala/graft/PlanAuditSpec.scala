@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkSpec
     "q_importance_weights", // 1-row smoothed totals crossed with the ≤4096-bucket frame
     "q_weekly_churn", // 1-row corpus max-week broadcast (right-censoring cut)
     "q_type_corr", // |event_type|-row type frame broadcast (grid spine)
+    "q_graph_pagerank", // 1-row node-count aggregate broadcast (r0/teleport)
+    "q_cooccur_types", // 1-row distinct-user total broadcast (lift denominator)
     "q_media_features_topk",
     "q_cross_join") // region × nation: two single-digit-row dims
 

@@ -503,4 +503,28 @@ class SimilaritySpec extends SparkSpec {
     assert(run(true) == run(false),
       "the strategy knob must change the plan shape, never the graph")
   }
+
+  test("pageRankInt matches a hand-computed fixed-point reference") {
+    import spark.implicits._
+    // 1→2, 2→1, 3→1: node 1 collects two in-flows, node 3 none (teleport
+    // only). All outdegrees are 1.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val s = 1L << 40
+    val r0 = s / 3
+    val tele = (15L * r0) / 100
+    def step(rs: Map[Long, Long]): Map[Long, Long] = Map(
+      1L -> (tele + (85L * (rs(2L) + rs(3L))) / 100),
+      2L -> (tele + (85L * rs(1L)) / 100),
+      3L -> tele)
+    val want = step(step(Map(1L -> r0, 2L -> r0, 3L -> r0)))
+    val got = graft.ops.Similarity.pageRankInt(edges, iters = 2)
+      .select(col("v"), col("r")).as[(Long, Long)].collect().toMap
+    assert(got == want, s"fixed-point ranks diverge: got $got want $want")
+    // the teleport-only node is strictly the poorest, and total mass
+    // never exceeds the scale (floor division only sheds mass). No
+    // claim between nodes 1 and 2: two power iterations oscillate on a
+    // 2-cycle (node 2 inherits node 1's iteration-1 surge).
+    assert(got(3L) < got(1L) && got(3L) < got(2L))
+    assert(got.values.sum <= s)
+  }
 }
