@@ -18,6 +18,23 @@ class SimilaritySpec extends SparkSpec {
     dot / (na * nb)
   }
 
+  test("LSH oracle-bits lockstep: auto path derives OracleBits at the verify fixture") {
+    import graft.ops.Similarity
+    // The LSH-family oracle SQL is statically rendered at
+    // autoNBits(VerifyFixtureEmbCount); the declared Spark keys auto-size
+    // from the live corpus count. This pin is the canary: if the driver's
+    // embeddings fixture ever changes size, or autoNBits' clamp moves, the
+    // two sides drift apart and the hash-oracle would silently break.
+    val live = graft.ops.tbl(spark, sfDir, "embeddings").count()
+    assert(live == Similarity.VerifyFixtureEmbCount,
+      s"verify fixture drifted: $live vectors (oracle SQL is rendered for " +
+        s"${Similarity.VerifyFixtureEmbCount}) — re-render VerifyFixtureEmbCount")
+    assert(Similarity.autoNBits(live) == Similarity.OracleBits)
+    assert(Similarity.autoNBits(live - 100) == Similarity.OracleCrossBits)
+    // and the production points stay where the scaladoc says
+    assert(Similarity.autoNBits(200000L) == 13)
+  }
+
   test("vector dot/norm/cosine match scala math") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)),
