@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions.udaf
   *
   * The buffer is a SORTED Vector (value desc, key asc), trimmed to k on
   * every insert: O(k) per row with k small (the top-k use case), zero
-  * allocation churn beyond the vector. Null values are ignored (a null
-  * can never be in the top k under DESC NULLS LAST semantics — the window
-  * oracle agrees as long as each group has ≥ k non-null rows; the driver
-  * fixture's orders table is non-null throughout).
+  * allocation churn beyond the vector. PRECONDITION: non-null inputs —
+  * the (Double, Long) input encoder has no null handling, so a null
+  * value column must be filtered BEFORE the udaf
+  * (.filter(value.isNotNull)); callers on the driver fixture satisfy
+  * this because the orders table is non-null throughout.
   */
 class TopKByValue(k: Int)
     extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {

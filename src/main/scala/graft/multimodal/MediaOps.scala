@@ -35,6 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object MediaOps {
 
+  /** Full-64-bit content hash for UNDECODABLE payloads: two 32-bit
+    * murmur passes under different seeds packed into one long. A single
+    * 32-bit murmur sign-extended to Long birthday-collides from ~10^5
+    * rows — distinct corrupt payloads would CLUSTER if any consumer
+    * groups fallback rows, breaking the "fallbacks never cluster"
+    * contract the dup censuses rely on. */
+  private def fallbackHash64(bytes: Array[Byte]): Long = {
+    import scala.util.hashing.MurmurHash3
+    (MurmurHash3.bytesHash(bytes, 0).toLong << 32) |
+      (MurmurHash3.bytesHash(bytes, 1).toLong & 0xFFFFFFFFL)
+  }
+
+
   /** Deterministic degraded fallback for payloads NO real codec recognizes
     * (corrupt bytes, foreign containers), so they degrade instead of
     * failing a partition. Every recognized modality takes a real path:
@@ -129,7 +142,7 @@ object MediaOps {
               ImageHash(m.media_id, ImageCodec.dHash64(img), decoded_ok = true)
             case None =>
               ImageHash(m.media_id,
-                scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+                fallbackHash64(m.content),
                 decoded_ok = false)
           }
         }
@@ -155,7 +168,7 @@ object MediaOps {
                 decoded_ok = true)
             case None =>
               AudioHash(m.media_id,
-                scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+                fallbackHash64(m.content),
                 decoded_ok = false)
           }
         }
@@ -195,7 +208,7 @@ object MediaOps {
             }
             VideoHash(m.media_id, h, decoded_ok = true)
           } else VideoHash(m.media_id,
-            scala.util.hashing.MurmurHash3.bytesHash(m.content).toLong,
+            fallbackHash64(m.content),
             decoded_ok = false)
         }
       }

@@ -1632,16 +1632,8 @@ object TextOps {
       None
     ),
     Q(
-      // The apply half of the tokenizer loop: encode the corpus under the
-      // 10 trained merge rules and report per-source fertility
-      // (tokens-per-word under the TRAINED tokenizer — q_token_fertility
-      // is the same census under a fixed regex tokenizer; comparing the
-      // two is the "is training this tokenizer worth it per slice"
-      // question). Scale shape: the only corpus-sized shuffle is the
-      // (source, word) count; the 10 chained merge folds run as codegen
-      // projections over that bounded frame (no UDF, no shuffle, no
-      // re-tokenize of the stream). BpeSpec pins the census against the
-      // driver-side scala encoder word-by-word.
+      // OOV-rate census at a fixed vocab budget — see the header inside
+      // the lambda for the full rationale.
       "q_vocab_coverage",
       (s, d) => {
         // OOV-rate census at a fixed vocab budget (top-1024 words per
@@ -1689,6 +1681,16 @@ object TextOps {
              |FROM a ORDER BY source ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // The apply half of the tokenizer loop: encode the corpus under the
+      // 10 trained merge rules and report per-source fertility
+      // (tokens-per-word under the TRAINED tokenizer — q_token_fertility
+      // is the same census under a fixed regex tokenizer; comparing the
+      // two is the "is training this tokenizer worth it per slice"
+      // question). Scale shape: the only corpus-sized shuffle is the
+      // (source, word) count; the 10 chained merge folds run as codegen
+      // projections over that bounded frame (no UDF, no shuffle, no
+      // re-tokenize of the stream). BpeSpec pins the census against the
+      // driver-side scala encoder word-by-word.
       "q_bpe_encode",
       (s, d) => {
         val docs = tbl(s, d, "documents")

@@ -27,8 +27,11 @@ final case class FirstSeen(user_id: Long, day: java.sql.Timestamp)
   *     batch `min(day) GROUP BY user` frame. First-arrival semantics
   *     (what a naive dropDuplicates-on-user gives) would attribute an
   *     out-of-order user to the WRONG day; the min-fold cannot. State is
-  *     one (long, bool) per user inside the lateness horizon, tombstoned
-  *     after emission. The per-day new-user rollup is a trivial
+  *     one (long, bool) per user, tombstoned after emission; tombstones
+  *     expire 30 days past the watermark (TombstoneTtlMs), so state is
+  *     bounded by users ACTIVE in that horizon, not the all-time
+  *     population — a returner after >30 days silence re-emits once, the
+  *     standard TTL trade. The per-day new-user rollup is a trivial
   *     aggregation of this ledger (batch-side or a downstream job);
   *     chaining it INTO this query would stack an agg on
   *     flatMapGroupsWithState, which append-mode streaming forbids.
@@ -72,11 +75,25 @@ object StreamingReach {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(updateFn)
   }
 
+  /** How long past the watermark an emitted user's tombstone is held
+    * before its state is dropped. The tombstone's job is to keep RETURN
+    * visits from re-counting as reach; holding it forever would grow
+    * state with the all-time user population, so it expires TTL past the
+    * watermark instead — bounding state at (users seen within the TTL
+    * horizon), at the documented cost that a user returning after >30
+    * days of silence re-emits once. Pick the TTL like a sessionization
+    * horizon: longer = fewer re-emissions, more state. */
+  private val TombstoneTtlMs = 30L * 86400000L
+
   private def updateFn(user: Long, it: Iterator[ReachEvent],
       st: GroupState[ReachState]): Iterator[FirstSeen] = {
     val old = st.getOption.getOrElse(ReachState(Long.MaxValue, done = false))
     if (old.done) {
-      // already emitted: every further event is a RETURN visit, not reach
+      // already emitted: every further event is a RETURN visit, not reach.
+      // Expire the tombstone TTL past the watermark (see TombstoneTtlMs);
+      // a live return visit pushes the expiry out again.
+      if (st.hasTimedOut) st.remove()
+      else st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + TombstoneTtlMs)
       Iterator.empty
     } else {
       var minDay = old.minDayUs
@@ -86,8 +103,10 @@ object StreamingReach {
       }
       val wmMs = st.getCurrentWatermarkMs()
       if (minDay != Long.MaxValue && (minDay + DayUs) / 1000L <= wmMs) {
-        // no admissible event can precede this day any more — finalize
+        // no admissible event can precede this day any more — finalize;
+        // the tombstone gets a TTL expiry so it cannot accrete forever
         st.update(ReachState(minDay, done = true))
+        st.setTimeoutTimestamp(wmMs + TombstoneTtlMs)
         Iterator.single(FirstSeen(user, new java.sql.Timestamp(minDay / 1000L)))
       } else {
         st.update(ReachState(minDay, done = false))
