@@ -107,3 +107,79 @@ final class MemorySink extends BusSink {
 
   def dests: Set[String] = byDest.keySet().asScala.toSet
 }
+
+/** IN-PROCESS bus chaining: ONE object that is both a [[BusSink]] and a
+  * [[BusSource]] — the interface-conformance analog of the reference's
+  * `Friz`, which literally implements Source and Sink
+  * (/root/reference/frizzle.go:23-25) so one bus's output feeds another
+  * without leaving the process. The upstream FrizzleStream takes it as
+  * `sink`; the downstream takes the same instance as `source`; dest
+  * collapses at the link (a chained `Friz` has no per-message dest
+  * dimension either — its configured transport does the routing).
+  *
+  * Dest scoping uses the bus's safeDest contract, not silent drops: a
+  * chain constructed for a dest subset declares everything else
+  * unaddressable, so the upstream bus DEAD-LETTERS non-chained dests to
+  * its fail sink (the same route unaddressable parquet dests take) —
+  * no row can vanish at the link.
+  *
+  * Replayed upstream epochs dedup on (batchId, dest) exactly like
+  * [[MemorySink]], so the downstream sees each epoch once (exactly-once
+  * across the link on top of at-least-once epoch replay). The handoff
+  * collects the routed epoch through the driver into a MemoryStream —
+  * this is the test/local-pipeline composition adapter completing the
+  * 1:1 Friz story; the executor-side store handoff
+  * ([[FileAdapters.chainSource]] + ParquetDirSink) remains the
+  * at-scale chain (SURVEY §2-C).
+  */
+final class MemoryChain(spark: SparkSession,
+    dests: Option[Set[String]] = None) extends BusSource with BusSink {
+  import spark.implicits._
+
+  private val ms: MemoryStream[Msg] = MemoryStream[Msg](spark)
+  private val seenBatches = ConcurrentHashMap.newKeySet[(Long, String)]()
+  private val replayCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val forwardedCounter = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var stopped = false
+
+  /** Dropped duplicate epoch deliveries (MemorySink.replays analog). */
+  def replays: Long = replayCounter.get
+  /** Rows handed across the link so far. */
+  def forwarded: Long = forwardedCounter.get
+
+  override def safeDest(dest: String): Boolean = dests.forall(_.contains(dest))
+
+  // ---- sink half (upstream side) ----
+  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
+    require(safeDest(dest),
+      s"dest '$dest' is not chained (chain carries ${dests.getOrElse(Set("*"))})")
+    require(!stopped, "chain is stopped (downstream drain began)")
+    val key = (batchId, dest)
+    if (!seenBatches.add(key)) { replayCounter.incrementAndGet(); return }
+    try {
+      val rows = batch.collect()
+      if (rows.nonEmpty) {
+        ms.addData(rows.toIndexedSeq)
+        forwardedCounter.addAndGet(rows.length.toLong)
+      }
+    } catch {
+      case e: Throwable =>
+        seenBatches.remove(key)
+        throw e
+    }
+  }
+
+  // ---- source half (downstream side) ----
+  def stream(sparkSession: SparkSession): DataFrame = ms.toDF()
+
+  /** Downstream drain began: refuse further upstream admissions (the
+    * upstream epoch fails and replays once the downstream restarts with a
+    * fresh chain — the same refusal surface as MemorySource.put after
+    * stop()). */
+  override def stop(): Unit = stopped = true
+
+  /** Closing either half stops admissions; data already admitted stays
+    * readable so the downstream can finish draining (both BusSource and
+    * BusSink declare close() — one body serves the diamond). */
+  override def close(): Unit = stopped = true
+}

@@ -105,6 +105,38 @@ class BusSpec extends SparkSpec {
     bus1.flushAndClose(10000); bus2.flushAndClose(10000)
   }
 
+  test("in-process bus chaining: one MemoryChain is both buses' Source and Sink (A18)") {
+    // The Friz-as-Source/Sink conformance path (frizzle.go:23-25): the
+    // SAME object is bus1's sink and bus2's source, no spool between.
+    val src1 = new MemorySource(spark)
+    val chain = new MemoryChain(spark, dests = Some(Set("mid")))
+    val dlq = new MemorySink
+    val end = new MemorySink
+    // bus1 routes lowercase to the chained "mid", everything else to
+    // "elsewhere" — which the chain declares unaddressable, so those rows
+    // must DEAD-LETTER (no silent loss at the link)
+    val bus1 = new FrizzleStream(spark, src1,
+      FrizzleStream.exprProcessor(
+        dest = when(col("data").cast("string").rlike("^[a-z]+$"), "mid")
+          .otherwise("elsewhere"),
+        failed = lit(false)),
+      chain, failSink = Some(dlq),
+      checkpointDir = Some(Files.createTempDirectory("busck1m").toString))
+    val bus2 = new FrizzleStream(spark, chain,
+      FrizzleStream.exprProcessor(dest = lit("out"), failed = lit(false)),
+      end,
+      checkpointDir = Some(Files.createTempDirectory("busck2m").toString))
+    bus1.start(); bus2.start()
+    src1.put(Msg.utf8("1", "abc"), Msg.utf8("2", "DEF"), Msg.utf8("3", "ghi"))
+    bus1.awaitIdle(); bus2.awaitIdle()
+    assert(end.sent("out").map(_.dataUtf8).sorted == Seq("abc", "ghi"))
+    assert(dlq.sent("failed").map(_.dataUtf8) == Seq("DEF"))
+    assert(chain.forwarded == 2 && chain.replays == 0)
+    assert(bus1.stats.send.get == 2 && bus1.stats.fail.get == 1)
+    assert(bus2.stats.send.get == 2 && bus2.stats.ack.get == 2)
+    bus1.flushAndClose(10000); bus2.flushAndClose(10000)
+  }
+
   test("flushAndClose drains pending input before closing (A15)") {
     val (src, sink, _, bus) = newBus()
     bus.start()
