@@ -70,7 +70,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop the finished query's lazy localCheckpoint blocks (sortOnce,
+      // multi-consumer frames) OUTSIDE its timed window: they are garbage
+      // to every later query but are only freed when GC happens to run the
+      // ContextCleaner, so without this the tail of the inventory runs
+      // under block-manager eviction pressure from the head (measured as
+      // warm>cold inversions at sf100 in tools.Profile).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      (name, dt, ok)
     }
     // 3-decimal seconds via Locale.ROOT: ms precision is below box noise,
     // and a locale-default format would emit comma decimals (invalid JSON)

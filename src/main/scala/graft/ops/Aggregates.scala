@@ -306,20 +306,33 @@ object Aggregates {
       // so the key holds a full DuckDB hash oracle (which computes the
       // same set the brute-force way). At 100 TB the win is pass 2's
       // shuffle carrying ~k tokens/group instead of the corpus vocabulary.
+      //
+      // The token stream is deliberately NOT cached/checkpointed: the
+      // exploded frame is ~10× the scan and materializing it evicts the
+      // block manager at scale (sf100 measured warm 132 s vs cold 49 s
+      // from exactly that — stale checkpoint blocks from earlier runs
+      // linger until GC'd). Two streaming tokenize passes — (1) MG sketch
+      // with the per-lang total folded into the SAME aggregation, (2) one
+      // INNER broadcast join against the candidate frame that prunes the
+      // stream AND annotates it with total in a single pass (sound
+      // because MG map keys are unique per lang, so the inner join can't
+      // duplicate rows; a semi-join + re-join pair would column-prune the
+      // two broadcast subtrees differently and run the MG pass twice —
+      // measured, no ReusedExchange). This is the shape that holds at
+      // 100 TB: nothing materialized, one full agg, one broadcast.
       "q_heavy_hitters",
       (s, d) => {
         val k = 50
         val toks = tbl(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-          .localCheckpoint(eager = false) // three consumers, one tokenize
         val cand = toks.groupBy("lang")
-          .agg(graft.functions.MisraGries.mgSketch(k)(col("token")).as("sk"))
-          .select(col("lang"), explode(map_keys(col("sk"))).as("token"))
-        val totals = toks.groupBy("lang").agg(count(lit(1)).as("total"))
-        toks.join(broadcast(cand), Seq("lang", "token"), "left_semi")
-          .groupBy("lang", "token")
+          .agg(graft.functions.MisraGries.mgSketch(k)(col("token")).as("sk"),
+               count(lit(1)).as("total"))
+          .select(col("lang"), explode(map_keys(col("sk"))).as("token"),
+                  col("total"))
+        toks.join(broadcast(cand), Seq("lang", "token"))
+          .groupBy("lang", "token", "total")
           .agg(count(lit(1)).as("cnt"))
-          .join(broadcast(totals), "lang")
           .filter(col("cnt") * (k + 1) > col("total"))
           .select(col("lang"), col("token"), col("cnt"), col("total"))
           .transform(df => sortOnce(df)(

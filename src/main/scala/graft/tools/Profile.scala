@@ -15,9 +15,17 @@ object Profile {
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val names = if (args.length > 2) args.drop(2).toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition sizing is per-SF, not per-core: at sf100 (600 M
+    // lineitem) 32 partitions put ~19 M rows per sort-merge-join task and
+    // the UnsafeExternalSorter exhausts execution memory (measured r16);
+    // 256 keeps per-task state bounded while AQE coalesces the excess on
+    // small inputs. Default stays the driver-contract 32; override with
+    // SPARK_GRAFT_SHUFFLE at sf ≥ 100 (the same dial a real cluster sets
+    // from input bytes / target partition size).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -27,7 +35,18 @@ object Profile {
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Each iteration builds a FRESH plan, so the previous iteration's
+        // lazy localCheckpoint blocks (sortOnce, multi-consumer frames)
+        // are pure garbage to the next one — but they are only freed when
+        // GC runs the ContextCleaner, so at large SF they sit in the block
+        // manager and the "warm" iterations measure eviction pressure, not
+        // the query (sf100 q_heavy_hitters: warm 132 s vs cold 49 s).
+        // Production runs a plan once per job; drop the blocks eagerly so
+        // warm times measure steady state.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        dt
       }
       println(f"$n%-24s cold=${times.head}%7.3f warm_min=${times.tail.minOption.getOrElse(Double.NaN)}%7.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
     }

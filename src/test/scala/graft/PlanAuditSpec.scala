@@ -311,22 +311,28 @@ class PlanAuditSpec extends SparkSpec
   }
 
   test("q_heavy_hitters: sketch runs as a partial ObjectHashAggregate, " +
-      "candidate/total frames broadcast") {
-    // the r13 sketch-then-verify shape: the MG Aggregator must
+      "ONE broadcast candidate join, MG pass computed once") {
+    // the r16 sketch-then-verify shape: the MG Aggregator must
     // partial-aggregate (map-side combine — the O(k)-state pass that
-    // replaces shuffling the vocabulary), and BOTH small frames (≤ k
-    // candidates per lang; one total per lang) must reach the re-count as
-    // broadcasts — a shuffled join here would re-shuffle the token stream
-    // it exists to prune
+    // replaces shuffling the vocabulary), and the candidate frame (≤ k
+    // candidates per lang, totals folded in) must reach the re-count as
+    // exactly ONE broadcast INNER join — a second join would mean the
+    // semi+rejoin regression whose differently-pruned broadcast subtrees
+    // each ran the full MG pass (measured r16: no ReusedExchange), and a
+    // shuffled join would re-shuffle the token stream it exists to prune
     val plan = query("q_heavy_hitters").queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"MG sketch must run under ObjectHashAggregate:\n$plan")
     assert(plan.contains("partial_misragries") || plan.contains("partial_MisraGries"),
       s"MG sketch lost its partial (map-side) mode:\n$plan")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
-      s"candidate semi-join and totals join must both broadcast:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      s"candidate prune+annotate must be ONE broadcast join:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1,
+      s"the MG candidate subtree must be built exactly once:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"no shuffled join may touch the token stream:\n$plan")
+    assert(!plan.contains("LocalCheckpoint") && !plan.contains("ExistingRDD"),
+      s"the token stream must stream — no materialization:\n$plan")
   }
 
   test("q_scd2_history: one hash exchange, window-only — no join") {
