@@ -423,8 +423,14 @@ object Relational {
             col("o_orderdate").as("valid_from"), col("valid_to"),
             col("valid_to").isNull.as("is_current"),
             col("o_totalprice").as("price"))
-          .transform(df => sortOnce(df)(
-            asc_nulls_first("o_custkey"), asc_nulls_first("version")))
+          // bare orderBy, NOT sortOnce: the output is full-table (one row
+          // per order) and the child is one cheap window pass over the
+          // scan, so re-executing it for the range sampler costs far less
+          // than materializing the whole table — measured at sf100's
+          // 150 M orders: 28.9 s resample vs 77.8 s checkpointed (the
+          // sortOnce doc's "sort-first" exception, generalized: cheap
+          // child + output ≈ input ⇒ resample wins)
+          .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("version"))
       },
       Some("""SELECT o_custkey,
              |  CAST(row_number() OVER w AS INT) AS version,

@@ -72,7 +72,13 @@ object TimeWindows {
             unix_timestamp(col("w.start")).as("session_start_s"),
             unix_timestamp(col("w.end")).as("session_end_s"),
             col("cnt"))
-          .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_start_s"))
+          // sortOnce, not a bare orderBy: the output is session-grain
+          // (≈ event count — ~95 M rows at sf100) and the sort keys are
+          // post-agg computed, so a bare global sort's range-sampling
+          // pass re-executes the whole session aggregation (measured at
+          // sf100: 19× the sf10 time where ~10× is linear)
+          .transform(df => sortOnce(df)(
+            asc_nulls_first("user_id"), asc_nulls_first("session_start_s")))
       },
       Some("""WITH e AS (
              |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),

@@ -31,6 +31,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B dial for the sortOnce tradeoff (see ops/package.scala): with
+    // SPARK_GRAFT_NOCHECKPOINT=true the final sort's range sampler
+    // re-executes the child plan instead of reading a materialized copy —
+    // lets the profiler measure both shapes of a key without a code edit.
+    if (sys.env.get("SPARK_GRAFT_NOCHECKPOINT").contains("true"))
+      spark.conf.set("graft.sortOnce.nocheckpoint", "true")
     names.foreach { n =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
