@@ -60,6 +60,10 @@ object Bench {
     // lands in `"failed":[...]`, is excluded from the total, and forces a
     // nonzero exit code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Snapshot pre-existing persistent RDD ids so the post-query cleanup
+      // below drops ONLY blocks this query created — a blanket unpersist
+      // would silently evict any future cross-query cached frame.
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // Evaluate the FULL physical plan: toRdd.count() materializes every
       // output column (a DataFrame count() would let Catalyst prune the
@@ -77,7 +81,8 @@ object Bench {
       // ContextCleaner, so without this the tail of the inventory runs
       // under block-manager eviction pressure from the head (measured as
       // warm>cold inversions at sf100 in tools.Profile).
-      spark.sparkContext.getPersistentRDDs.values
+      spark.sparkContext.getPersistentRDDs
+        .collect { case (id, rdd) if !preexisting.contains(id) => rdd }
         .foreach(_.unpersist(blocking = true))
       (name, dt, ok)
     }

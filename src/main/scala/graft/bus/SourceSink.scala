@@ -133,7 +133,9 @@ final class MemorySink extends BusSink {
   * at-scale chain (SURVEY §2-C).
   */
 final class MemoryChain(spark: SparkSession,
-    dests: Option[Set[String]] = None) extends BusSource with BusSink {
+    dests: Option[Set[String]] = None,
+    maxBufferedRows: Long = 10_000_000L,
+    maxTrackedEpochs: Int = 100_000) extends BusSource with BusSink {
   import spark.implicits._
 
   private val ms: MemoryStream[Msg] = MemoryStream[Msg](spark)
@@ -154,11 +156,27 @@ final class MemoryChain(spark: SparkSession,
     require(safeDest(dest),
       s"dest '$dest' is not chained (chain carries ${dests.getOrElse(Set("*"))})")
     require(!stopped, "chain is stopped (downstream drain began)")
+    // Lifetime guards, loud by design: the driver-side MemoryStream buffer
+    // and the (batchId, dest) dedup set both grow for the chain's lifetime
+    // (a MemoryStream cannot be trimmed until the downstream commits, and
+    // dedup must remember every admitted epoch). That is the documented
+    // test/local-pipeline scope — rather than letting a long-running
+    // production wiring OOM the driver silently, refuse the write that
+    // crosses the cap and name the at-scale alternative.
+    require(seenBatches.size < maxTrackedEpochs,
+      s"MemoryChain epoch ledger exceeded $maxTrackedEpochs epochs — this " +
+        "adapter is the in-process test/local chain; use " +
+        "FileAdapters.chainSource (executor-side parquet spool) for " +
+        "long-running pipelines")
     val key = (batchId, dest)
     if (!seenBatches.add(key)) { replayCounter.incrementAndGet(); return }
     try {
       val rows = batch.collect()
       if (rows.nonEmpty) {
+        require(forwardedCounter.get + rows.length <= maxBufferedRows,
+          s"MemoryChain row buffer would exceed $maxBufferedRows rows — " +
+            "this adapter collects epochs through the driver; use " +
+            "FileAdapters.chainSource for data this size")
         ms.addData(rows.toIndexedSeq)
         forwardedCounter.addAndGet(rows.length.toLong)
       }

@@ -115,15 +115,25 @@ object Relational {
              |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // Customers with NO high-value order. The right side is FILTERED
+      // (o_totalprice > 450000) so the anti-join is provably non-vacuous
+      // on the driver fixtures at every verify scale (57 rows at sf0.001,
+      // 538 at sf0.01 — every synthetic customer has SOME order, so the
+      // unfiltered form returned 0 rows and a sign-flipped predicate
+      // would have hash-matched on empty; NonVacuousSpec plants the
+      // synthetic non-empty case too). Filter pushes below the anti-join
+      // build side — the shuffled right frame shrinks ~10×.
       "q_anti_join",
       (s, d) => {
         tbl(s, d, "customer")
-          .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(tbl(s, d, "orders").filter(col("o_totalprice") > 450000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name", "c_mktsegment")
           .transform(df => sortOnce(df)(asc_nulls_first("c_custkey")))
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
              |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
     ),
     Q(

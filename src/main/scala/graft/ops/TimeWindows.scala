@@ -1394,12 +1394,20 @@ object TimeWindows {
           col("n").as("x"))
         val b = grid.select(col("day"), col("event_type").as("tb"),
           col("n").as("y"))
+        // Moment sums in DECIMAL(38,0) (oracle: HUGEINT), not BIGINT: at
+        // the 100 TB shape a per-day per-type count near 3e9 makes x*x
+        // ~9e18 — one product already at BIGINT's edge, and the sum over
+        // days silently wraps. Exact decimal keeps the repo's
+        // integer-exact convention; the one IEEE division at the end is
+        // unchanged.
         a.join(b, "day").filter(col("ta") < col("tb"))
           .groupBy("ta", "tb")
           .agg(count(lit(1)).as("n_days"),
-            sum("x").as("sx"), sum("y").as("sy"),
-            sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
-            sum(expr("x*y")).as("sxy"))
+            sum(expr("cast(x as decimal(20,0))")).as("sx"),
+            sum(expr("cast(y as decimal(20,0))")).as("sy"),
+            sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+            sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"),
+            sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"))
           // nullif: a zero-variance type (constant daily count) yields a
           // 0 denominator — r is UNDEFINED there, and NaN/Inf would also
           // hash differently across engines; NULL is the portable answer
@@ -1422,11 +1430,11 @@ object TimeWindows {
              |p AS (
              |  SELECT a.event_type AS ta, b.event_type AS tb,
              |    COUNT(*) AS n_days,
-             |    CAST(SUM(a.n) AS BIGINT) AS sx,
-             |    CAST(SUM(b.n) AS BIGINT) AS sy,
-             |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
-             |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy,
-             |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+             |    SUM(CAST(a.n AS HUGEINT)) AS sx,
+             |    SUM(CAST(b.n AS HUGEINT)) AS sy,
+             |    SUM(CAST(a.n AS HUGEINT) * a.n) AS sxx,
+             |    SUM(CAST(b.n AS HUGEINT) * b.n) AS syy,
+             |    SUM(CAST(a.n AS HUGEINT) * b.n) AS sxy
              |  FROM g a JOIN g b ON a.day = b.day AND a.event_type < b.event_type
              |  GROUP BY ta, tb)
              |SELECT ta, tb, n_days,

@@ -109,12 +109,17 @@ object StreamingTypeCorr {
         coalesce(col("n"), lit(0L)).as("n"))
     val a = grid.select(col("day"), col("event_type").as("ta"), col("n").as("x"))
     val b = grid.select(col("day"), col("event_type").as("tb"), col("n").as("y"))
+    // DECIMAL(38,0) moment sums, mirroring batch q_type_corr exactly: a
+    // per-day per-type count near 3e9 puts x*x at BIGINT's edge and the
+    // day-summed moments past it — exact decimal instead of silent wrap.
     a.join(b, "day").filter(col("ta") < col("tb"))
       .groupBy("ta", "tb")
       .agg(count(lit(1)).as("n_days"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x*x")).as("sxx"), sum(expr("y*y")).as("syy"),
-        sum(expr("x*y")).as("sxy"))
+        sum(expr("cast(x as decimal(20,0))")).as("sx"),
+        sum(expr("cast(y as decimal(20,0))")).as("sy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))")).as("sxx"),
+        sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))")).as("syy"),
+        sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))")).as("sxy"))
       .withColumn("den",
         sqrt(expr("cast(n_days*sxx - sx*sx as double)"))
           * sqrt(expr("cast(n_days*syy - sy*sy as double)")))

@@ -39,6 +39,9 @@ object Profile {
       spark.conf.set("graft.sortOnce.nocheckpoint", "true")
     names.foreach { n =>
       val times = (0 until iters).map { _ =>
+        // Scope the post-iteration cleanup to blocks THIS iteration
+        // creates: snapshot the pre-existing persistent RDD ids first.
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -50,7 +53,8 @@ object Profile {
         // the query (sf100 q_heavy_hitters: warm 132 s vs cold 49 s).
         // Production runs a plan once per job; drop the blocks eagerly so
         // warm times measure steady state.
-        spark.sparkContext.getPersistentRDDs.values
+        spark.sparkContext.getPersistentRDDs
+          .collect { case (id, rdd) if !preexisting.contains(id) => rdd }
           .foreach(_.unpersist(blocking = true))
         dt
       }

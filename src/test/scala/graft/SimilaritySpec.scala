@@ -25,12 +25,22 @@ class SimilaritySpec extends SparkSpec {
     // from the live corpus count. This pin is the canary: if the driver's
     // embeddings fixture ever changes size, or autoNBits' clamp moves, the
     // two sides drift apart and the hash-oracle would silently break.
-    val live = graft.ops.tbl(spark, sfDir, "embeddings").count()
-    assert(live == Similarity.VerifyFixtureEmbCount,
-      s"verify fixture drifted: $live vectors (oracle SQL is rendered for " +
-        s"${Similarity.VerifyFixtureEmbCount}) — re-render VerifyFixtureEmbCount")
-    assert(Similarity.autoNBits(live) == Similarity.OracleBits)
-    assert(Similarity.autoNBits(live - 100) == Similarity.OracleCrossBits)
+    // BOTH scales the correctness driver touches (entry smoke at sf0.001,
+    // oracle verify at sf0.01) must hold the pinned count — not just the
+    // sfDir this test session happens to use; if either fixture drifts,
+    // the statically-rendered OracleBits diverges at THAT scale only and
+    // a single-dir canary would miss it.
+    val verifyDirs = (Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      :+ sfDir).distinct.filter(p => new java.io.File(p).isDirectory)
+    assert(verifyDirs.nonEmpty)
+    verifyDirs.foreach { dir =>
+      val live = graft.ops.tbl(spark, dir, "embeddings").count()
+      assert(live == Similarity.VerifyFixtureEmbCount,
+        s"verify fixture $dir drifted: $live vectors (oracle SQL is rendered " +
+          s"for ${Similarity.VerifyFixtureEmbCount}) — re-render VerifyFixtureEmbCount")
+      assert(Similarity.autoNBits(live) == Similarity.OracleBits)
+      assert(Similarity.autoNBits(live - 100) == Similarity.OracleCrossBits)
+    }
     // and the production points stay where the scaladoc says
     assert(Similarity.autoNBits(200000L) == 13)
   }
