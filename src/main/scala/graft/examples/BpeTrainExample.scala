@@ -32,7 +32,7 @@ object BpeTrainExample {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = graft.ops.tbl(spark, sfDir, "documents")
-    val rules = Bpe.trainMerges(docs, nMerges)
+    val rules = Bpe.trainMergesBatched(docs, nMerges)
     rules.foreach { case (i, a, b, cnt) =>
       println(f"merge $i%3d: '$a' + '$b' -> '${a + b}'  (count $cnt)")
     }

@@ -490,7 +490,9 @@ object MediaOps {
       md.digest().take(12).map("%02x".format(_)).mkString
     }
     val cache = Paths.get(sys.props("java.io.tmpdir"),
-      "graft-media-fixture-v5", // v5: 8 MB row groups (bounded read batches)
+      // v5: 8 MB row groups (bounded read batches); v6: planted image
+      // near-dup cluster (de-vacuates the Hamming tier)
+      "graft-media-fixture-v6",
       s"${Paths.get(dir).getFileName}-$fingerprint")
     if (!Files.exists(cache)) synchronized {
       if (!Files.exists(cache)) {
@@ -518,10 +520,31 @@ object MediaOps {
                     AudioCodec.synthWav(seed, (durMs * hz / 1000).toInt, hz),
                     -1, -1, durMs, ts0)
                 case _ => // image: real PNG, dims discovered by decode
-                  val w = 32 + math.floorMod(seed, 33).toInt
-                  val h = 32 + math.floorMod(seed >> 16, 33).toInt
-                  MediaItem(id, "image/png", ImageCodec.synthPng(seed, w, h),
-                    -1, -1, -1L, ts0)
+                  // Planted image near-dup cluster, ids {7,132,257,382}
+                  // (all ≡ 2 mod 5 so the stripe stays in this modality;
+                  // the id < 500 bound pins the cluster to 4 docs at
+                  // EVERY sf — pair count never scales): three
+                  // bit-identical PNGs plus one downscale of the same
+                  // picture. Without it the Hamming tier's fixture
+                  // answer is EMPTY at all scales — the documents
+                  // fixture has no exact text dups, so seed =
+                  // xxhash64(text) never collides (the r16 verdict's
+                  // vacuous-oracle trap). NonVacuousSpec +
+                  // MultimodalSpec pin the planted pairs.
+                  if (id < 500 && math.floorMod(id, 125) == 7) {
+                    val base = ImageCodec.synthPng(0x517CC1B727220A95L, 48, 48)
+                    val bytes =
+                      if (id == 257)
+                        ImageCodec.encodePng(ImageCodec.scaleTo(
+                          ImageCodec.decode(base).get, 36, 36))
+                      else base
+                    MediaItem(id, "image/png", bytes, -1, -1, -1L, ts0)
+                  } else {
+                    val w = 32 + math.floorMod(seed, 33).toInt
+                    val h = 32 + math.floorMod(seed >> 16, 33).toInt
+                    MediaItem(id, "image/png", ImageCodec.synthPng(seed, w, h),
+                      -1, -1, -1L, ts0)
+                  }
               }
             }
           }

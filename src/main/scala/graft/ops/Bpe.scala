@@ -73,6 +73,12 @@ object Bpe {
     * order; stops early when no pair remains. The vocab frame is
     * localCheckpointed per round so the fold chain never re-plans from
     * the corpus scan.
+    *
+    * This is the one-argmax-per-round REFERENCE loop (one driver
+    * round-trip per merge — O(nMerges) driver traffic). Production
+    * vocab sizes want [[trainMergesBatched]], which accepts a provably
+    * order-equivalent PREFIX of each round's ranking and cuts rounds by
+    * ~the batch factor; BpeSpec pins the two loops merge-for-merge.
     */
   def trainMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
     var vocab = wordVocab(docs).localCheckpoint()
@@ -93,6 +99,95 @@ object Bpe {
       }
     }
     rules.toSeq
+  }
+
+  /** Batched training: per round, pull the top-`batchCap` candidate rows
+    * (ONE driver round-trip) and accept the longest ranking PREFIX that a
+    * static argument proves the sequential loop would have picked in the
+    * same order — so a 32k-vocab train needs ~nMerges/acceptedPerRound
+    * driver round-trips instead of 32k, with BIT-IDENTICAL output.
+    *
+    * Why a prefix of the snapshot ranking is safe: applying merge
+    * (a, b) → ab only (i) ZEROES the (a, b) row itself, (ii) DECREASES
+    * rows sharing a symbol with it, and (iii) CREATES rows involving the
+    * new symbol `ab`. So for the next candidate in the snapshot ranking
+    * to also be the next SEQUENTIAL argmax it suffices that
+    *   - it shares no symbol with any earlier accepted merge (its own
+    *     count is then unchanged), including the earlier merges' freshly
+    *     minted `a+b` symbols (else its occurrence set could grow), and
+    *   - its count strictly exceeds every earlier accepted merge's
+    *     created-pair ceiling: a created pair (x, ab) inherits at most
+    *     cnt(x, a) occurrences and (ab, y) at most cnt(b, y), so
+    *     min(cnt_j, max(maxIn(a_j), maxOut(b_j))) — with maxIn/maxOut
+    *     the snapshot's per-symbol neighbor maxima — bounds anything
+    *     merge j can mint (chained creations stay under the same bound:
+    *     a later (a_jb_j, c) adjacency is an old (b_j, c) adjacency).
+    *   Decreased rows rank at-or-below their snapshot position, created
+    *   rows rank strictly below the next accepted candidate, unchanged
+    *   rows keep their order — the sequential argmax therefore walks the
+    *   accepted prefix in snapshot order (ties inside the prefix resolve
+    *   by the same (cnt DESC, a ASC, b ASC) key both loops share).
+    * The first candidate violating either condition STOPS the batch (its
+    * post-merge rank is unknowable from the snapshot — skipping it would
+    * diverge); it is re-ranked fresh next round.
+    */
+  def trainMergesBatched(docs: DataFrame, nMerges: Int,
+      batchCap: Int = 32): Seq[(Int, String, String, Long)] =
+    trainMergesBatchedStats(docs, nMerges, batchCap)._1
+
+  /** [[trainMergesBatched]] plus the round count (= driver round-trips),
+    * the number tools.BpeBench ledgers against nMerges.
+    */
+  def trainMergesBatchedStats(docs: DataFrame, nMerges: Int,
+      batchCap: Int = 32): (Seq[(Int, String, String, Long)], Int) = {
+    require(batchCap >= 1)
+    var rounds = 0
+    var vocab = wordVocab(docs).localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    while (rules.size < nMerges && !exhausted) {
+      rounds += 1
+      val pc = pairCounts(vocab).localCheckpoint(eager = false)
+      // Neighbor maxima feed the created-pair ceiling; joined onto the
+      // bounded top-k frame so ONE collect carries everything the
+      // driver-side prefix scan needs.
+      val maxIn = pc.groupBy(col("b").as("s")).agg(max("cnt").as("max_in"))
+      val maxOut = pc.groupBy(col("a").as("s")).agg(max("cnt").as("max_out"))
+      val want = math.min(batchCap, nMerges - rules.size)
+      val top = pc.orderBy(desc("cnt"), asc("a"), asc("b")).limit(want)
+        .join(maxIn, col("a") === col("s"), "left").drop("s")
+        .join(maxOut, col("b") === maxOut("s"), "left").drop("s")
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .select("a", "b", "cnt", "max_in", "max_out")
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        var ceiling = 0L // max created-pair bound over accepted merges
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var stop = false
+        top.iterator.takeWhile(_ => !stop).foreach { r =>
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          val disjoint = !used(a) && !used(b)
+          val clearsCeiling = accepted.isEmpty || cnt > ceiling
+          if (disjoint && clearsCeiling) {
+            accepted += ((a, b, cnt))
+            used += (a, b, a + b)
+            val maxInA = if (r.isNullAt(3)) 0L else r.getLong(3)
+            val maxOutB = if (r.isNullAt(4)) 0L else r.getLong(4)
+            ceiling = math.max(ceiling,
+              math.min(cnt, math.max(maxInA, maxOutB)))
+          } else stop = true
+        }
+        accepted.foreach { case (a, b, cnt) =>
+          rules += ((rules.size, a, b, cnt))
+        }
+        vocab = accepted.foldLeft(vocab) { case (v, (a, b, _)) =>
+          applyMerge(v, a, b)
+        }.localCheckpoint()
+      }
+    }
+    (rules.toSeq, rounds)
   }
 
   /** Corpus-scale encode: apply an ordered merge-rule list to a frame

@@ -13,10 +13,39 @@ import graft.multimodal.MediaOps
   * ImageIO PNG/JPEG decode, javax.sound PCM + Goertzel spectra, and a
   * hand-rolled RIFF/MJPEG-AVI demuxer (graft.multimodal.VideoCodec).
   *
-  * No SQL oracle (codec outputs are engine-specific); invariants are pinned
-  * by graft.MultimodalSpec.
+  * Codec invariants are pinned by graft.MultimodalSpec (DuckDB cannot
+  * decode media, so decode/frame/chunk/feature keys carry no SQL oracle).
+  * The four dedup-census keys ARE oracled since r17: they persist their
+  * per-asset hash frame (see [[MediaHashRoot]]) and both engines census
+  * the same parquet bytes — grouping, banding and the Hamming join get
+  * the full rows+schema+hash check.
   */
 object Multimodal {
+
+  /** Root of the materialized media-hash index frames. The dedup-census
+    * keys below persist their per-asset hash frame here (one parquet dir
+    * per (fixture, hash kind)), then compute the census FROM THE
+    * PERSISTED FRAME — the index-build-then-census shape a production
+    * media-dedup pipeline runs (hash once, census/re-census many times).
+    * It is also what makes the census half of these keys fully
+    * DuckDB-checkable: the oracle SQL reads the same parquet bytes, so
+    * everything AFTER the codec (grouping, banding, Hamming join) gets a
+    * rows+schema+hash oracle, and only the codec itself stays
+    * ScalaTest-pinned (DuckDB cannot decode media). The oracle SQL pins
+    * the sf0.01 path because that is the driver's one verify scale; any
+    * other scale writes its own subdir and is never oracle-consulted.
+    */
+  val MediaHashRoot = "/tmp/graft-mediahash"
+
+  private def persistHashFrame(df: org.apache.spark.sql.DataFrame,
+      d: String, name: String): org.apache.spark.sql.DataFrame = {
+    val out = s"$MediaHashRoot/${new java.io.File(d).getName}/$name"
+    df.write.mode("overwrite").parquet(out)
+    df.sparkSession.read.parquet(out)
+  }
+
+  private def hashIndexPath(name: String): String =
+    s"$MediaHashRoot/sf0.01/$name/*.parquet"
 
   val all: Seq[Q] = Seq(
     Q(
@@ -104,18 +133,28 @@ object Multimodal {
       // decoded_ok=false fallbacks are excluded (fabricated hashes must
       // not cluster with genuine pixel hashes). Invariance + fallback
       // semantics pinned in MultimodalSpec; no SQL oracle (JDK codec).
+      // r17: the census half is now DuckDB-oracled — the hash frame is
+      // persisted (see MediaHashRoot) and both engines census the same
+      // parquet bytes; only the codec stays ScalaTest-only.
       "q_media_phash_dup",
       (s, d) => {
-        MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
-            parallelism = s.sessionState.conf.numShufflePartitions)
-          .toDF()
-          .filter(col("decoded_ok"))
-          .groupBy("phash")
+        val idx = persistHashFrame(
+          MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions)
+            .toDF()
+            .filter(col("decoded_ok"))
+            .select("media_id", "phash"),
+          d, "phash")
+        idx.groupBy("phash")
           .agg(count(lit(1)).as("n_images"),
             min(col("media_id")).as("canonical_id"))
           .orderBy(asc_nulls_first("phash"))
       },
-      None
+      Some(s"""SELECT phash, COUNT(*) AS n_images,
+              |  MIN(media_id) AS canonical_id
+              |FROM read_parquet('${hashIndexPath("phash")}')
+              |GROUP BY phash
+              |ORDER BY phash ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // The Hamming tier (MediaOps.phashNearDupPairs): image pairs within
@@ -127,14 +166,34 @@ object Multimodal {
       // shuffle. The fixture's planted text dups synthesize identical
       // images, so distance-0 pairs exist at every scale. Banding
       // guarantee + planted-resize recall pinned in MultimodalSpec.
+      // r17: banding + Hamming join run over the persisted hash index and
+      // are replicated in the oracle SQL — the pigeonhole tier itself is
+      // now rows+schema+hash checked, not just spec-pinned.
       "q_media_phash_neardup",
       (s, d) => {
-        MediaOps.phashNearDupPairs(
-            MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions))
+        val idx = persistHashFrame(
+          MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions)
+            .toDF()
+            .filter(col("decoded_ok"))
+            .select("media_id", "phash"),
+          d, "phash_nd")
+        MediaOps.hammingNearDupPairs(idx, "phash", maxHamming = 3)
           .orderBy(asc_nulls_first("a_id"), asc_nulls_first("b_id"))
       },
-      None
+      Some(s"""WITH h AS (
+              |  SELECT media_id, phash
+              |  FROM read_parquet('${hashIndexPath("phash_nd")}')),
+              |b AS (
+              |  SELECT media_id, phash, band,
+              |    (phash >> (band * 16)) & 65535 AS key
+              |  FROM h, UNNEST([0, 1, 2, 3]) AS t(band))
+              |SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+              |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+              |FROM b x JOIN b y ON x.band = y.band AND x.key = y.key
+              |  AND x.media_id < y.media_id
+              |WHERE bit_count(xor(x.phash, y.phash)) <= 3
+              |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Audio-dedup census: AudioCodec.audioHash64 over real decoded PCM
@@ -145,16 +204,23 @@ object Multimodal {
       // MultimodalSpec; no SQL oracle (JDK codec).
       "q_media_ahash_dup",
       (s, d) => {
-        MediaOps.audioFingerprint(MediaOps.mediaFromDocuments(s, d),
-            parallelism = s.sessionState.conf.numShufflePartitions)
-          .toDF()
-          .filter(col("decoded_ok"))
-          .groupBy("ahash")
+        val idx = persistHashFrame(
+          MediaOps.audioFingerprint(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions)
+            .toDF()
+            .filter(col("decoded_ok"))
+            .select("media_id", "ahash"),
+          d, "ahash")
+        idx.groupBy("ahash")
           .agg(count(lit(1)).as("n_clips"),
             min(col("media_id")).as("canonical_id"))
           .orderBy(asc_nulls_first("ahash"))
       },
-      None
+      Some(s"""SELECT ahash, COUNT(*) AS n_clips,
+              |  MIN(media_id) AS canonical_id
+              |FROM read_parquet('${hashIndexPath("ahash")}')
+              |GROUP BY ahash
+              |ORDER BY ahash ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Video-dedup census completing the modality triple: per clip, the
@@ -165,16 +231,23 @@ object Multimodal {
       // (non-demuxable / zero decodable frames) rows excluded.
       "q_media_vhash_dup",
       (s, d) => {
-        MediaOps.videoFingerprint(MediaOps.mediaFromDocuments(s, d),
-            parallelism = s.sessionState.conf.numShufflePartitions)
-          .toDF()
-          .filter(col("decoded_ok"))
-          .groupBy("vhash")
+        val idx = persistHashFrame(
+          MediaOps.videoFingerprint(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions)
+            .toDF()
+            .filter(col("decoded_ok"))
+            .select("media_id", "vhash"),
+          d, "vhash")
+        idx.groupBy("vhash")
           .agg(count(lit(1)).as("n_clips"),
             min(col("media_id")).as("canonical_id"))
           .orderBy(asc_nulls_first("vhash"))
       },
-      None
+      Some(s"""SELECT vhash, COUNT(*) AS n_clips,
+              |  MIN(media_id) AS canonical_id
+              |FROM read_parquet('${hashIndexPath("vhash")}')
+              |GROUP BY vhash
+              |ORDER BY vhash ASC NULLS FIRST""".stripMargin)
     )
   )
 }

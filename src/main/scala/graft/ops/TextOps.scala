@@ -1613,18 +1613,21 @@ object TextOps {
     Q(
       // Full BPE tokenizer training (graft.ops.Bpe): 10 merge rules
       // learned by the iterative loop whose single step q_bpe_merges
-      // exposes — per round: pair-count the vocab frame, pull ONE argmax
-      // row to the driver, apply the merge as a codegen'd aggregate()
-      // fold over each word's symbol array. The merge table IS the
-      // tokenizer artifact; deterministic (cnt DESC, a ASC, b ASC)
-      // tiebreak makes it a pure function of the corpus, so BpeSpec pins
-      // it against hand-computed merges (Sennrich'16 corpus) and the
-      // driver records rows-only (iterative driver loop — not
-      // single-statement SQL-expressible).
+      // exposes — per round: pair-count the vocab frame, pull the top-k
+      // candidate rows to the driver ONCE, accept the provably
+      // order-equivalent ranking prefix (trainMergesBatched — driver
+      // round-trips scale as nMerges/batch, not nMerges; BpeSpec pins
+      // bit-identity with the one-argmax reference loop), apply the
+      // merges as codegen'd aggregate() folds over each word's symbol
+      // array. The merge table IS the tokenizer artifact; deterministic
+      // (cnt DESC, a ASC, b ASC) tiebreak makes it a pure function of
+      // the corpus, so BpeSpec pins it against hand-computed merges
+      // (Sennrich'16 corpus) and the driver records rows-only
+      // (iterative driver loop — not single-statement SQL-expressible).
       "q_bpe_train",
       (s, d) => {
         import s.implicits._
-        Bpe.trainMerges(tbl(s, d, "documents"), nMerges = 10)
+        Bpe.trainMergesBatched(tbl(s, d, "documents"), nMerges = 10)
           .map { case (i, a, b, c) => (i.toLong, a, b, a + b, c) }
           .toDF("merge_idx", "a", "b", "merged", "cnt")
           .orderBy(asc_nulls_first("merge_idx"))
@@ -1694,7 +1697,8 @@ object TextOps {
       "q_bpe_encode",
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val rules = Bpe.trainMerges(docs, nMerges = 10).map(r => (r._2, r._3))
+        val rules = Bpe.trainMergesBatched(docs, nMerges = 10)
+          .map(r => (r._2, r._3))
         val sw = docs
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) >= 1)

@@ -38,6 +38,38 @@ class BpeSpec extends SparkSpec {
     assert(rules(3)._2 -> rules(3)._3 == "lo" -> "w" && rules(3)._4 == 7L)
   }
 
+  test("trainMergesBatched ≡ trainMerges merge-for-merge on the classic corpus") {
+    val docs = graft.ops.tbl(spark, corpusDir, "documents")
+    val seq10 = Bpe.trainMerges(docs, nMerges = 10)
+    // every batch width must reproduce the sequential artifact exactly —
+    // the merge table IS the tokenizer, so "close" is not a thing
+    for (cap <- Seq(1, 2, 8)) {
+      val bat = Bpe.trainMergesBatched(docs, nMerges = 10, batchCap = cap)
+      assert(bat == seq10, s"batchCap=$cap diverged:\n$bat\nvs\n$seq10")
+    }
+  }
+
+  test("trainMergesBatched stops the batch where a created pair could win") {
+    import spark.implicits._
+    // Adversarial corpus: snapshot ranking is (m,n)=10, (a,m)=9, (d,e)=9.
+    // Merging (m,n) CREATES (a,mn)=9, which sequentially beats (d,e) on
+    // the a-ASC tiebreak — so a naive batcher that skips the incompatible
+    // (a,m) and accepts the disjoint (d,e) in round 1 would emit the
+    // wrong merge order. The prefix rule stops at (a,m) instead.
+    val dir = Files.createTempDirectory("bpe-adv").toString
+    val text = (Seq.fill(9)("amn") ++ Seq.fill(1)("mn") ++
+      Seq.fill(9)("de")).mkString(" ")
+    Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = graft.ops.tbl(spark, dir, "documents")
+    val seq4 = Bpe.trainMerges(docs, nMerges = 4)
+    // sequential: (m,n)=10, then created (a,mn)=9 outranks (d,e)=9
+    assert(seq4.map(r => (r._2, r._3)).take(2) == Seq("m" -> "n", "a" -> "mn"))
+    val bat4 = Bpe.trainMergesBatched(docs, nMerges = 4, batchCap = 8)
+    assert(bat4 == seq4, s"batched diverged on created-pair dominance:\n$bat4\nvs\n$seq4")
+  }
+
   test("applyMerge is leftmost-greedy and non-overlapping (aaa → [aa, a])") {
     import spark.implicits._
     val vocab = Seq((1L, Seq("a", "a", "a"))).toDF("freq", "syms")

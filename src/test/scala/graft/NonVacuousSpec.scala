@@ -84,9 +84,25 @@ class NonVacuousSpec extends SparkSpec {
       s"exactly the planted pair at its true distance (cap excludes doc 45): $got")
   }
 
+  test("q_media_phash_neardup: the planted image cluster yields its distance-0 trio") {
+    import org.apache.spark.sql.functions.col
+    // ids 7/132/382 are bit-identical planted PNGs (MediaOps
+    // mediaFromDocuments); 257 is a downscale of the same picture. The
+    // d=0 trio is GUARANTEED; the resized member's pairs additionally
+    // appear iff its dHash drift stays ≤ 3 bits (spec-pinned property,
+    // not re-asserted here).
+    val pairs = SparkEntry.queries("q_media_phash_neardup")(spark, sfDir)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    for (p <- Seq((7L, 132L), (7L, 382L), (132L, 382L)))
+      assert(pairs.contains((p._1, p._2, 0L)),
+        s"planted identical pair $p missing (got $pairs)")
+  }
+
   test("fixture canary: all three keys return rows > 0 at every driver verify scale") {
     assert(verifyDirs.nonEmpty)
-    for (d <- verifyDirs; key <- Seq("q_anti_join", "q_except", "q_edit_distance")) {
+    for (d <- verifyDirs; key <- Seq("q_anti_join", "q_except", "q_edit_distance",
+        "q_media_phash_neardup")) {
       val n = SparkEntry.queries(key)(spark, d).count()
       assert(n > 0,
         s"$key is VACUOUS at $d (0 rows) — reshape the predicate or the " +
