@@ -760,4 +760,52 @@ class BusSpec extends SparkSpec {
     assert(idx2.epochs().size <= 4,
       s"leftover torn runs must be folded back in: ${idx2.epochs().sorted}")
   }
+
+  test("tiered compaction soak: 600 epochs hold the log asymptote") {
+    // The 24-epoch test pins correctness; this pins the ASYMPTOTE the
+    // design argues for — over a 600-epoch lifetime (size-scaled: tiny
+    // epochs, append+compact only; dedupEpoch's anti-join semantics are
+    // already pinned above) the run-directory count must stay
+    // ≤ fanout·⌈log_fanout(epochs)⌉ + a torn-run allowance at EVERY
+    // epoch, and cumulative compaction bytes must stay within the
+    // rewrite bound (each hash moves at most ⌈log_fanout(epochs)⌉ times;
+    // +1 level of headroom for parquet per-file overhead, which
+    // dominates at this scaled-down epoch size). A super-logarithmic
+    // scheme fails both well before epoch 600.
+    import spark.implicits._
+    def bytesUnder(p: java.nio.file.Path): Long = {
+      if (!Files.exists(p)) return 0L
+      val st = Files.walk(p)
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally st.close()
+    }
+    val fanout = 4
+    val nEpochs = 600
+    val idxDir = Files.createTempDirectory("seenidx_soak")
+    val idx = new SeenHashIndex(spark, idxDir.toString, compactEvery = fanout)
+    def log4ceil(n: Int): Int =
+      math.ceil(math.log(n.toDouble) / math.log(fanout.toDouble)).toInt
+    var appendedBytes = 0L
+    var dirPeakRelative = 0.0
+    for (e <- 0 until nEpochs) {
+      if (idx.epochs().count(_ < e) >= fanout) idx.compact(e)
+      // 16 fresh hashes per epoch — the machinery under test is run
+      // bookkeeping, not row volume
+      idx.append(spark.range(e * 16L, e * 16L + 16).select(col("id").as("h")), e)
+      appendedBytes += bytesUnder(idxDir.resolve(s"epoch=$e"))
+      val bound = fanout * math.max(1, log4ceil(math.max(2, e + 1))) + fanout
+      dirPeakRelative = math.max(dirPeakRelative,
+        idx.epochs().size.toDouble / bound)
+    }
+    assert(dirPeakRelative <= 1.0,
+      f"directory count exceeded fanout·⌈log⌉+fanout at some epoch (peak ratio $dirPeakRelative%.2f)")
+    val ampBound = (log4ceil(nEpochs) + 1).toLong
+    assert(idx.compactBytesWritten <= ampBound * appendedBytes,
+      s"write amplification ${idx.compactBytesWritten}B vs appended " +
+        s"${appendedBytes}B exceeds the ${ampBound}x log bound")
+    // the logical history survives the whole soak exactly
+    assert(idx.seenBefore(nEpochs.toLong).distinct().count() == nEpochs * 16L,
+      "soaked index must hold exactly the distinct appended hashes")
+  }
 }
