@@ -248,6 +248,56 @@ object Multimodal {
               |FROM read_parquet('${hashIndexPath("vhash")}')
               |GROUP BY vhash
               |ORDER BY vhash ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      // Cross-modal provenance census (r17): image-dup rate PER SOURCE —
+      // which provider ships duplicated imagery, the procurement-facing
+      // rollup of q_media_phash_dup (same relationship q_dup_ratio_by_
+      // source has to q_dedup_docs_exact, one modality over). Joins the
+      // persisted phash index back to the documents table on id: after
+      // the one codec pass only (id, 8-byte hash) and (id, source)
+      // columns shuffle — an id-grain equi-join, never pixels. Output is
+      // one row per source regardless of dup density, so the census is
+      // never vacuously empty; the planted v6 cluster guarantees at
+      // least one source shows n_dup_images > 0 on the driver fixture.
+      "q_media_dup_by_source",
+      (s, d) => {
+        val idx = persistHashFrame(
+          MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
+              parallelism = s.sessionState.conf.numShufflePartitions)
+            .toDF()
+            .filter(col("decoded_ok"))
+            .select("media_id", "phash"),
+          d, "phash_src")
+        val counts = idx.groupBy("phash").agg(count(lit(1)).as("n"))
+        idx.join(counts, "phash")
+          .join(tbl(s, d, "documents")
+              .select(col("doc_id").as("media_id"), col("source")),
+            "media_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).cast("long")
+              .as("n_dup_images"))
+          .select(col("source"), col("n_images"), col("n_dup_images"),
+            (col("n_dup_images").cast("double") /
+              col("n_images").cast("double")).as("dup_ratio"))
+          .orderBy(asc_nulls_first("source"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT media_id, phash
+              |  FROM read_parquet('${hashIndexPath("phash_src")}')),
+              |c AS (SELECT phash, COUNT(*) AS n FROM h GROUP BY phash),
+              |j AS (
+              |  SELECT d.source, c.n
+              |  FROM h JOIN c ON c.phash = h.phash
+              |  JOIN documents d ON d.doc_id = h.media_id)
+              |SELECT source, COUNT(*) AS n_images,
+              |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup_images,
+              |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+              |FROM j GROUP BY source
+              |ORDER BY source ASC NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec
     "q_graph_pagerank", // 1-row node-count aggregate broadcast (r0/teleport)
     "q_cooccur_types", // 1-row distinct-user total broadcast (lift denominator)
     "q_media_features_topk",
+    "q_dedup_threshold_sweep", // 5-row threshold frame broadcast (curve cross)
     "q_cross_join") // region × nation: two single-digit-row dims
 
   private val skip = Set("stream_bus_e2e") // streaming run, not a relational plan
