@@ -72,12 +72,16 @@ object TimeWindows {
             unix_timestamp(col("w.start")).as("session_start_s"),
             unix_timestamp(col("w.end")).as("session_end_s"),
             col("cnt"))
-          // sortOnce, not a bare orderBy: the output is session-grain
-          // (≈ event count — ~95 M rows at sf100) and the sort keys are
-          // post-agg computed, so a bare global sort's range-sampling
-          // pass re-executes the whole session aggregation (measured at
-          // sf100: 19× the sf10 time where ~10× is linear)
-          .transform(df => sortOnce(df)(
+          // corpusGrain sortOnce (recompute-for-sampler shape): the output
+          // is session-grain (≈ event count — ~95 M rows at sf100), so
+          // the checkpointed shape's materialized copy outgrows the block
+          // manager and becomes a full disk round-trip — measured sf100
+          // 73.2 s checkpointed vs 43.7 s recomputed (clean method; the
+          // r16 "19×" measurement for the recompute shape predates the
+          // Profile block-manager fix and was measuring eviction). At
+          // sf10, where the copy fits in memory, the checkpoint is ~1.1 s
+          // better — the 100 TB design point decides the default here.
+          .transform(df => sortOnce(df, corpusGrain = true)(
             asc_nulls_first("user_id"), asc_nulls_first("session_start_s")))
       },
       Some("""WITH e AS (

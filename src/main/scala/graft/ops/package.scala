@@ -87,8 +87,25 @@ package object ops {
     * sort key is a raw column, prefer sorting FIRST and projecting after
     * (zero storage — see q_json_extract); the checkpoint variant is for
     * computed sort keys / post-agg sorts, where sort-first is impossible.
+    *
+    * CORPUS-GRAIN outputs invert the tradeoff: when the pre-sort frame is
+    * ~input-sized (session grain, SCD2 history), the materialized copy no
+    * longer fits the block manager and the checkpoint becomes a full
+    * disk write + read-back that costs MORE than recomputing the child
+    * for the sampler (measured at sf100, clean method: q_scd2_history
+    * 77.8 s checkpointed vs 31.9 s recomputed, q_session_window 73.2 vs
+    * 43.7 — while at sf10, where the copy fits in memory, the checkpoint
+    * still wins by ~15%; at the 100 TB design point the copy would be
+    * TB-scale, so recompute wins by construction). Callers whose output
+    * is corpus-grain pass corpusGrain = true to take the recompute shape
+    * — the r16 claim that recompute measured 19× there predates the
+    * Profile block-manager fix and was measuring eviction, not the plan.
     */
-  def sortOnce(df: DataFrame)(keys: Column*): DataFrame =
+  def sortOnce(df: DataFrame, corpusGrain: Boolean = false)(keys: Column*): DataFrame =
+    if (corpusGrain) df.orderBy(keys: _*)
+    else sortOnceCheckpointed(df)(keys: _*)
+
+  private def sortOnceCheckpointed(df: DataFrame)(keys: Column*): DataFrame =
     // The checkpoint truncates lineage to `Scan ExistingRDD`, which blinds
     // plan audits to everything beneath it; plan auditors (PlanAuditSpec,
     // tools.Explain) set this SESSION conf to audit the full pre-checkpoint
