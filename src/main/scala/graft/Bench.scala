@@ -23,7 +23,7 @@ object Bench {
     // queries absorbed the residual JIT; warm_min plan cost was flat).
     // …plus the custom-expression and iterative-join shapes the generic
     // warm-up misses: LshSignatures codegen (q_sim_cosine_lsh),
-    // RollingMinHash codegen (q_doc_fingerprint), and the looped
+    // the md5-slice shingle fingerprint (q_doc_fingerprint), and the looped
     // join+agg+checkpoint shape (q_embed_clusters) — without these,
     // q_embed_clusters bills ~12 s cold vs ~4 s warm plan cost and
     // distorts the round-over-round signal by ~8 s.

@@ -163,22 +163,41 @@ final class MemoryChain(spark: SparkSession,
     // test/local-pipeline scope — rather than letting a long-running
     // production wiring OOM the driver silently, refuse the write that
     // crosses the cap and name the at-scale alternative.
-    require(seenBatches.size < maxTrackedEpochs,
-      s"MemoryChain epoch ledger exceeded $maxTrackedEpochs epochs — this " +
-        "adapter is the in-process test/local chain; use " +
-        "FileAdapters.chainSource (executor-side parquet spool) for " +
-        "long-running pipelines")
     val key = (batchId, dest)
+    // Dedup BEFORE the epoch-cap guard: a redelivered already-admitted
+    // epoch must stay a tolerated replay even when the ledger sits exactly
+    // at the cap (r17 ADVICE — cap-then-dedup broke at-least-once replay
+    // tolerance precisely at the boundary). add() is the atomic admit;
+    // a NEW epoch that pushes the ledger past the cap is rolled back and
+    // refused loudly.
     if (!seenBatches.add(key)) { replayCounter.incrementAndGet(); return }
+    if (seenBatches.size > maxTrackedEpochs) {
+      seenBatches.remove(key)
+      throw new IllegalStateException(
+        s"MemoryChain epoch ledger exceeded $maxTrackedEpochs epochs — this " +
+          "adapter is the in-process test/local chain; use " +
+          "FileAdapters.chainSource (executor-side parquet spool) for " +
+          "long-running pipelines")
+    }
     try {
       val rows = batch.collect()
       if (rows.nonEmpty) {
-        require(forwardedCounter.get + rows.length <= maxBufferedRows,
-          s"MemoryChain row buffer would exceed $maxBufferedRows rows — " +
-            "this adapter collects epochs through the driver; use " +
-            "FileAdapters.chainSource for data this size")
-        ms.addData(rows.toIndexedSeq)
-        forwardedCounter.addAndGet(rows.length.toLong)
+        // Reserve capacity with addAndGet-then-check (not get-then-add):
+        // concurrent sink tasks must not jointly overshoot the row cap
+        // (r17 ADVICE). Over-reservation is rolled back before refusing.
+        val reserved = forwardedCounter.addAndGet(rows.length.toLong)
+        if (reserved > maxBufferedRows) {
+          forwardedCounter.addAndGet(-rows.length.toLong)
+          throw new IllegalStateException(
+            s"MemoryChain row buffer would exceed $maxBufferedRows rows — " +
+              "this adapter collects epochs through the driver; use " +
+              "FileAdapters.chainSource for data this size")
+        }
+        try ms.addData(rows.toIndexedSeq)
+        catch {
+          case e: Throwable =>
+            forwardedCounter.addAndGet(-rows.length.toLong); throw e
+        }
       }
     } catch {
       case e: Throwable =>

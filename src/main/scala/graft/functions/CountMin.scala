@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * the wire per partition; the probe side broadcasts the finished sketch
   * and reads Depth cells per candidate.
   *
-  * Keys are pre-hashed OUTSIDE the aggregate with Spark's `xxhash64`
-  * column function, and [[CountMin.idx]] / [[CountMin.idxCol]] are the
+  * Keys are pre-hashed OUTSIDE the aggregate to a 64-bit integer — the
+  * library default is Spark's `xxhash64`; the declared q_cms_freq_est key
+  * uses the portable md5-slice hash so a DuckDB oracle can re-derive the
+  * same keys — and [[CountMin.idx]] / [[CountMin.idxCol]] are the
   * same exact integer arithmetic in Scala and Column form — so the
   * build side (JVM aggregate) and the probe side (codegen'd SQL over the
   * broadcast array) address identical cells. Row hashes are

@@ -388,16 +388,35 @@ object Aggregates {
       // bit-for-bit). Output carries est and exact side by side so the
       // one-sided guarantee (est ≥ exact) and the ε·N error ceiling are
       // INSPECTABLE in the result; CountMinSpec pins both bounds plus
-      // merge algebra. No DuckDB oracle: the sketch's cell layout is
-      // engine-specific (xxhash64 keys) — ScalaTest-verified instead.
+      // merge algebra.
+      //
+      // r18: DuckDB-oracled end to end. Keys use the PORTABLE 60-bit
+      // md5-slice hash (not the xxhash64 library default), the finished
+      // sketch's 4096 cells persist to parquet (IndexFrames — the same
+      // build-then-probe shape as the media hash indexes), and the oracle
+      // recomputes cell addressing ((a·(x mod P)+b) mod P mod W, rendered
+      // from the SAME CountMin constants) + the 4-cell min + exact counts
+      // from the same bytes. Only the JVM sketch AGGREGATE itself is
+      // engine-only; its merge algebra stays CountMinSpec-pinned.
       "q_cms_freq_est",
       (s, d) => {
         val toks = tbl(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("token"))
           .filter(length(col("token")) > 0)
-          .select(col("token"), xxhash64(col("token")).as("x"))
-        val sketch = toks
-          .agg(graft.functions.CountMinSketch.agg(col("x")).as("sketch"))
+          .select(col("token"),
+            conv(md5(col("token")).substr(1, 15), 16, 10).cast("long").as("x"))
+        val cells = IndexFrames.persist(
+          toks.agg(graft.functions.CountMinSketch.agg(col("x")).as("sketch"))
+            .select(posexplode(col("sketch")).as(Seq("cell_idx", "cnt")))
+            .select(col("cell_idx").cast("long").as("cell_idx"), col("cnt")),
+          d, "cms_cells")
+        // reassemble the flat cell array from the persisted frame so the
+        // probe goes through CountMin.estimateCol — the same codegen'd
+        // addressing CountMinSpec pins against the build-side idx()
+        val sketch = cells
+          .agg(transform(
+            array_sort(collect_list(struct(col("cell_idx"), col("cnt")))),
+            c => c.getField("cnt")).as("sketch"))
         val top = toks.groupBy("token")
           .agg(count(lit(1)).as("exact_cnt"), first(col("x")).as("x"))
           .orderBy(desc_nulls_last("exact_cnt"), asc_nulls_first("token"))
@@ -408,7 +427,40 @@ object Aggregates {
               .as("est_cnt"))
           .orderBy(desc_nulls_last("exact_cnt"), asc_nulls_first("token"))
       },
-      None
+      Some(cmsFreqEstSql)
     )
   )
+
+  /** DuckDB replica of q_cms_freq_est's probe side, rendered from the SAME
+    * CountMin constants the Spark build uses (the minhashPairsSqlCtes
+    * pattern): read the persisted sketch cells, address Depth cells per
+    * probe key with the identical integer arithmetic, take the min.
+    */
+  private def cmsFreqEstSql: String = {
+    import graft.functions.CountMin.{A, B, Depth, P, Width}
+    val cellLookups = (0 until Depth).map { i =>
+      s"""(SELECT cnt FROM cms_cells
+         |     WHERE cell_idx = ${i.toLong * Width} +
+         |       ((${A(i)} * xm + ${B(i)}) % $P) % $Width)""".stripMargin
+    }.mkString(",\n       |    ")
+    s"""WITH cms_cells AS (
+       |  SELECT cell_idx, cnt
+       |  FROM read_parquet('${IndexFrames.oraclePath("cms_cells")}')),
+       |cms_toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |cms_tf AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       |    CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT) AS x
+       |  FROM cms_toks WHERE len(token) > 0 GROUP BY token),
+       |cms_top AS (
+       |  SELECT token, exact_cnt, ((x % $P) + $P) % $P AS xm
+       |  FROM cms_tf
+       |  ORDER BY exact_cnt DESC NULLS LAST, token ASC NULLS FIRST
+       |  LIMIT 20)
+       |SELECT token, exact_cnt,
+       |  LEAST(
+       |    $cellLookups) AS est_cnt
+       |FROM cms_top
+       |ORDER BY exact_cnt DESC NULLS LAST, token ASC NULLS FIRST""".stripMargin
+  }
 }

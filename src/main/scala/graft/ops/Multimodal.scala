@@ -16,36 +16,23 @@ import graft.multimodal.MediaOps
   * Codec invariants are pinned by graft.MultimodalSpec (DuckDB cannot
   * decode media, so decode/frame/chunk/feature keys carry no SQL oracle).
   * The four dedup-census keys ARE oracled since r17: they persist their
-  * per-asset hash frame (see [[MediaHashRoot]]) and both engines census
-  * the same parquet bytes — grouping, banding and the Hamming join get
-  * the full rows+schema+hash check.
+  * per-asset hash frame (see [[graft.ops.IndexFrames]]) and both engines
+  * census the same parquet bytes — grouping, banding and the Hamming join
+  * get the full rows+schema+hash check.
   */
 object Multimodal {
 
-  /** Root of the materialized media-hash index frames. The dedup-census
-    * keys below persist their per-asset hash frame here (one parquet dir
-    * per (fixture, hash kind)), then compute the census FROM THE
-    * PERSISTED FRAME — the index-build-then-census shape a production
-    * media-dedup pipeline runs (hash once, census/re-census many times).
-    * It is also what makes the census half of these keys fully
-    * DuckDB-checkable: the oracle SQL reads the same parquet bytes, so
-    * everything AFTER the codec (grouping, banding, Hamming join) gets a
-    * rows+schema+hash oracle, and only the codec itself stays
-    * ScalaTest-pinned (DuckDB cannot decode media). The oracle SQL pins
-    * the sf0.01 path because that is the driver's one verify scale; any
-    * other scale writes its own subdir and is never oracle-consulted.
-    */
-  val MediaHashRoot = "/tmp/graft-mediahash"
-
+  // The dedup-census keys below persist their per-asset hash frame via
+  // graft.ops.IndexFrames (one parquet dir per (fixture-key, hash kind)),
+  // then compute the census FROM THE PERSISTED FRAME — see IndexFrames'
+  // Scaladoc for the build-then-census rationale, the oracle-readability
+  // argument, and the collision-safe dir keying (r17 ADVICE).
   private def persistHashFrame(df: org.apache.spark.sql.DataFrame,
-      d: String, name: String): org.apache.spark.sql.DataFrame = {
-    val out = s"$MediaHashRoot/${new java.io.File(d).getName}/$name"
-    df.write.mode("overwrite").parquet(out)
-    df.sparkSession.read.parquet(out)
-  }
+      d: String, name: String): org.apache.spark.sql.DataFrame =
+    IndexFrames.persist(df, d, name)
 
   private def hashIndexPath(name: String): String =
-    s"$MediaHashRoot/sf0.01/$name/*.parquet"
+    IndexFrames.oraclePath(name)
 
   val all: Seq[Q] = Seq(
     Q(

@@ -679,36 +679,60 @@ object TextOps {
              |ORDER BY doc_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin)
     ),
     Q(
-      // Winnowing-style document fingerprint: min/max 64-bit hash over
-      // 4-token shingles. Hash is engine-specific (xxhash64) → no SQL
-      // oracle; invariance properties are asserted in ScalaTest.
+      // Winnowing-style document fingerprint: min/max hash over 4-token
+      // shingles, PORTABLE-hash form — 60-bit md5-slice per shingle
+      // (`conv(substr(md5(s),1,15),16,10)` ≡ DuckDB
+      // `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), same idiom that
+      // oracled q_minhash_neardup/q_simhash_dedup. Docs shorter than 4
+      // tokens contribute the whole doc as their one shingle. The
+      // rolling-hash variant stays available as the registered
+      // `rolling_min_hash` extension function (expr/RollingMinHash.scala,
+      // ExprSpec codegen≡interpreted) — it is engine-specific by design
+      // and so lives outside the oracled surface.
       "q_doc_fingerprint",
       (s, d) => {
-        // explode → hash once per shingle → MIN/MAX partial aggregates
-        // (map-side combine; same scale shape as q_minhash_neardup). Same
-        // two-step tuple-hash form as Dedup.shingleHashStream, 4-token
-        // window: project the per-token hash array once, then combine 4
-        // neighboring token hashes per shingle — indexing a MATERIALIZED
-        // attribute, because lambda bodies get no CSE and indexing
-        // split(text) directly re-runs the split per shingle.
-        val th = col("th")
-        val shh = transform(
-          sequence(lit(0), greatest(size(th) - 4, lit(0))),
-          i => xxhash64(get(th, i), get(th, i + 1), get(th, i + 2), get(th, i + 3)))
+        // explode → hash once per shingle → MIN/MAX/COUNT partial
+        // aggregates (map-side combine; same scale shape as
+        // q_minhash_neardup: only doc_id + 8-byte hashes shuffle, the
+        // shingle STRINGS die in the scan stage).
+        val toks = col("toks")
+        val shingles = when(size(toks) >= 4,
+          transform(sequence(lit(0), size(toks) - 4),
+            i => concat_ws(" ",
+              get(toks, i), get(toks, i + 1), get(toks, i + 2), get(toks, i + 3))))
+          .otherwise(array(col("text")))
         tbl(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
-          .select(col("doc_id"), xxhash64(col("text")).as("fp_full"),
-            graft.expr.RollingMinHash(col("text"), 16).as("fp_roll"),
-            explode(shh).as("shh"))
-          .groupBy("doc_id", "fp_full", "fp_roll")
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            conv(md5(col("text")).substr(1, 15), 16, 10).cast("long").as("fp_full"),
+            explode(shingles).as("sh"))
+          .select(col("doc_id"), col("fp_full"),
+            conv(md5(col("sh")).substr(1, 15), 16, 10).cast("long").as("shh"))
+          .groupBy("doc_id", "fp_full")
           .agg(
             min(col("shh")).as("fp_min"),
-            max(col("shh")).as("fp_max"))
-          .select("doc_id", "fp_min", "fp_max", "fp_full", "fp_roll")
+            max(col("shh")).as("fp_max"),
+            count(lit(1)).as("n_shingles"))
+          .select("doc_id", "fp_min", "fp_max", "fp_full", "n_shingles")
           .transform(df => sortOnce(df)(asc_nulls_first("doc_id")))
       },
-      None
+      Some("""WITH fp_t AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+             |fp_sh AS (
+             |  SELECT doc_id,
+             |    CAST(CONCAT('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp_full,
+             |    unnest(CASE WHEN len(l) >= 4
+             |      THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+             |            FOR i IN range(1, len(l) - 2)]
+             |      ELSE [text] END) AS s
+             |  FROM fp_t)
+             |SELECT doc_id,
+             |  MIN(CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS fp_min,
+             |  MAX(CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS fp_max,
+             |  fp_full,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shingles
+             |FROM fp_sh GROUP BY doc_id, fp_full
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // PII scrubbing: regex redaction of emails and long digit runs, the

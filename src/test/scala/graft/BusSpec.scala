@@ -137,6 +137,42 @@ class BusSpec extends SparkSpec {
     bus1.flushAndClose(10000); bus2.flushAndClose(10000)
   }
 
+  test("MemoryChain epoch cap: replay AT the boundary stays a dedup, new epoch refuses") {
+    // r17 ADVICE: the cap guard must run AFTER the dedup short-circuit —
+    // a redelivered already-admitted epoch is at-least-once replay
+    // tolerance and must not throw just because the ledger is full.
+    import spark.implicits._
+    val chain = new MemoryChain(spark, maxTrackedEpochs = 2)
+    def ds(id: String, s: String) = Seq(Msg.utf8(id, s)).toDS()
+    chain.write(ds("1", "a"), "d", 0L)
+    chain.write(ds("2", "b"), "d", 1L) // ledger now exactly at the cap
+    chain.write(ds("1", "a"), "d", 0L) // replay at the boundary → dedup
+    assert(chain.replays == 1 && chain.forwarded == 2)
+    intercept[IllegalStateException] { chain.write(ds("3", "c"), "d", 2L) }
+    chain.write(ds("2", "b"), "d", 1L) // refusal left the ledger intact
+    assert(chain.replays == 2 && chain.forwarded == 2)
+  }
+
+  test("MemoryChain row cap: crossing write refuses and rolls back its reservation") {
+    // r17 ADVICE: capacity is reserved with addAndGet-then-check so
+    // concurrent sink tasks cannot jointly overshoot; the refused epoch
+    // rolls back BOTH the row reservation and its ledger entry.
+    import spark.implicits._
+    val chain = new MemoryChain(spark, maxBufferedRows = 2L)
+    chain.write(Seq(Msg.utf8("1", "a"), Msg.utf8("2", "b")).toDS(), "d", 0L)
+    intercept[IllegalStateException] {
+      chain.write(Seq(Msg.utf8("3", "c")).toDS(), "d", 1L)
+    }
+    assert(chain.forwarded == 2 && chain.replays == 0)
+    // the refused epoch is NOT remembered as admitted: a later retry (after
+    // a downstream drain freed capacity in a fresh chain) is a real write,
+    // and a resubmit here refuses again rather than silently deduping
+    intercept[IllegalStateException] {
+      chain.write(Seq(Msg.utf8("3", "c")).toDS(), "d", 1L)
+    }
+    assert(chain.replays == 0)
+  }
+
   test("flushAndClose drains pending input before closing (A15)") {
     val (src, sink, _, bus) = newBus()
     bus.start()

@@ -70,8 +70,19 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
-  test("q_cms_freq_est plans partial aggregation for the sketch build") {
-    val plan = query("q_cms_freq_est").queryExecution.executedPlan.toString
+  test("sketch build plans partial aggregation (map-side combine)") {
+    // The declared key persists the built sketch before probing (the
+    // IndexFrames build-then-probe shape), so the build agg is no longer
+    // in the returned plan — pin the build-side shape directly: partial +
+    // final ObjectHashAggregate around the exchange, ONE 32 KB row per
+    // partition on the wire.
+    import org.apache.spark.sql.functions.{col, conv, explode, length, md5, split}
+    val build = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(conv(md5(col("token")).substr(1, 15), 16, 10).cast("long").as("x"))
+      .agg(graft.functions.CountMinSketch.agg(col("x")).as("sketch"))
+    val plan = build.queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 }
