@@ -11,7 +11,15 @@ import org.apache.spark.sql.SparkSession
   *   - nanosAsLong for parquet timestamp[ns] columns (see graft.ops.tbl).
   * Recommended at any scale:
   *   - shuffle partitions sized to the cluster (NOT the 200 default —
-  *     pass ~2-3× total executor cores; AQE coalesces downward at runtime).
+  *     pass ~2-3× total executor cores; AQE coalesces downward at runtime);
+  *   - objectHashAggregate fallback threshold raised from the 128 default:
+  *     the engine's bounded typed aggregates (BottomKPairs kNN reducer,
+  *     TopKByValue, CountMinSketch) carry O(k) state per group, so the
+  *     default would demote them to SORT-based aggregation after 128
+  *     groups — re-introducing exactly the per-partition n log n the
+  *     aggregates exist to avoid. 2^21 groups × O(k) state ≈ tens of MB
+  *     per task, far under executor memory at the partition sizes the
+  *     engine targets.
   */
 object Graft {
 
@@ -26,6 +34,7 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.ui.enabled", ui)
       .getOrCreate()
     graft.expr.GraftExtensions.register(spark)

@@ -1072,15 +1072,24 @@ object TextOps {
       "q_bm25",
       (s, d) => {
         val terms = Seq("spark", "vector", "dup")
-        val docs = tbl(s, d, "documents")
+        // TWO independent scans, NO caching (r18): the previous shape
+        // localCheckpointed the tokenized corpus (doc_id + full token
+        // array) to share it between the stats agg and the tf explode —
+        // at 5 M docs that materialization is multi-GB of block-manager
+        // storage, and the protected storage fraction starved the tf
+        // aggregation's execution memory ([AGGREGATE_OUT_OF_MEMORY] at
+        // the 8 GB heap every other sf100 key runs under; reproduced +
+        // fixed this round, PROFILE_r18). Tokenizing twice is a cheap
+        // streaming projection; holding the tokenized corpus is a
+        // resident copy that grows with the data — at 100 TB the scan
+        // is repeatable, the copy is impossible.
+        val stats = tbl(s, d, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl"))
+        val tf = tbl(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), col("toks"),
-            size(col("toks")).cast("long").as("dl"))
-          .localCheckpoint(eager = false)
-        val stats = docs.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).cast("long").as("sum_dl"))
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("tok"))
           .filter(col("tok").isin(terms: _*))
           .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))

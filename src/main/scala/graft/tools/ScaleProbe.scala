@@ -74,6 +74,36 @@ object ScaleProbe {
       // occupancy ~constant so the candidate distinct grows ~linearly
       graft.ops.Similarity.knnGraphQuantized(emb, knownCount = Some(n))
     }
+    // collision-volume census (r18): decomposes the kNN family's sf100
+    // residual — collisions = Σ occ·(occ−1) over (table, bucket) is the
+    // exact row count the bucket self-join produces, and max_occ exposes
+    // bucket skew that autoNBits' EXPECTED-occupancy target cannot see.
+    // If collisions/vector grows across decades, the join input itself is
+    // super-linear and only an occupancy cap (not a faster reducer) fixes it.
+    if (only.isEmpty || only("lib_collision_census")) {
+      val buckets = emb.select(col("vec_id"),
+          posexplode(graft.expr.LshSignatures(col("embedding"), bits, 16)))
+        .select(col("pos").as("tbl"), col("col").as("bkt"))
+      def projected(cap: Int) = {
+        // collisions after an occupancy cap: buckets above `cap` split
+        // into nsub=ceil(occ/cap) hash sub-buckets → ~occ²/nsub pairs
+        val nsub = ceil(col("occ").cast("double") / cap)
+        sum((col("occ") * (col("occ") - 1)).cast("double") / nsub)
+          .cast("long").as(s"proj_cap$cap")
+      }
+      val r = buckets.groupBy("tbl", "bkt").agg(count(lit(1)).as("occ"))
+        .agg(sum(col("occ") * (col("occ") - 1)).as("collisions"),
+          max(col("occ")).as("max_occ"),
+          expr("approx_percentile(occ, 0.99)").as("p99_occ"),
+          count(lit(1)).as("n_buckets"),
+          projected(64), projected(128))
+        .collect()(0)
+      println(s"lib_collision_census collisions=${r.get(0)} " +
+        s"max_occ=${r.get(1)} p99_occ=${r.get(2)} n_buckets=${r.get(3)} " +
+        s"per_vector=${r.getLong(0) / math.max(n, 1)} " +
+        s"proj_cap64=${r.get(4)} proj_cap128=${r.get(5)}")
+    }
+
     time("lib_semdedup_survivors") {
       val dropped = graft.ops.Dedup.connectedComponents(
           graft.ops.Similarity.lshNearDupPairs(emb, knownCount = Some(n)))

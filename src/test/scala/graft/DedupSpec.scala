@@ -232,4 +232,68 @@ class DedupSpec extends SparkSpec {
       "histogram must equal the direct text-keyed computation")
     assert(rows.exists(_._1 > 1), "generator fixture must plant multi-doc groups")
   }
+
+  test("q_dedup_threshold_sweep: curve is monotonically non-increasing in the threshold") {
+    // The tuning-curve invariant that makes the sweep trustworthy as a
+    // knob table: a STRICTER threshold can only flag a subset of pairs
+    // (the predicate inter·100 > union·pct is antitone in pct), so both
+    // counts must be non-increasing — checked on the real fixture.
+    val curve = query("q_dedup_threshold_sweep")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(50L, 60L, 70L, 80L, 90L))
+    curve.sliding(2).foreach {
+      case Seq((_, p0, d0), (_, p1, d1)) =>
+        assert(p1 <= p0 && d1 <= d0,
+          s"sweep curve must be non-increasing in the threshold: $curve")
+      case _ => ()
+    }
+  }
+
+  test("q_dedup_threshold_sweep on a planted corpus: exact counts, 60-cut ≡ q_jaccard_shingles") {
+    // Planted Jaccard ladder (3-token shingle sets, disjoint vocabularies
+    // between pairs so no cross-pair candidates):
+    //   201/202 identical             → J = 1.00   flagged at all 5 cuts
+    //   203/204 differ in last token  → J = 29/31 ≈ 0.935  flagged at all 5
+    //   205/206 shared 18-token prefix → J = 16/24 ≈ 0.667  flagged at 50, 60
+    //   207/208 shared 6-token prefix  → J =  4/16 = 0.25   flagged nowhere
+    // All pairs at J > 0.6 are strong enough that the minhash-banded
+    // candidate tier catches them deterministically (fixed MinhashPerms;
+    // at J ≈ 0.67 the 8-band miss odds are ~1e-1 per RANDOM corpus but
+    // this corpus + these constants are fixed — the test pins that THIS
+    // configuration has full recall above the 0.6 cut, which is exactly
+    // what makes the 60-cut comparable to the exact inverted-index tier).
+    val mk = (p: String, n: Int) => (1 to n).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (201L, mk("c", 30), "en", "s", 10L),
+      (202L, mk("c", 30), "en", "s", 10L),
+      (203L, mk("d", 31) + " dx", "en", "s", 10L),
+      (204L, mk("d", 31) + " dy", "en", "s", 10L),
+      (205L, mk("e", 22), "en", "s", 10L),
+      (206L, mk("e", 18) + " " + mk("f", 4), "en", "s", 10L),
+      (207L, mk("g", 12), "en", "s", 10L),
+      (208L, mk("g", 6) + " " + mk("h", 6), "en", "s", 10L),
+      (209L, mk("u", 16), "en", "s", 10L),
+      (210L, mk("v", 16), "en", "s", 10L))
+    val dir = Files.createTempDirectory("sweep").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sweep = SparkEntry.queries("q_dedup_threshold_sweep")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sweep == Seq(
+      (50L, 3L, 6L), (60L, 3L, 6L), (70L, 2L, 4L), (80L, 2L, 4L),
+      (90L, 2L, 4L)), s"planted ladder mis-counted: $sweep")
+
+    // cross-tier consistency: the 60 cut flags the same pair set the
+    // EXACT inverted-index tier (q_jaccard_shingles, same strict
+    // inter·10 > union·6 predicate, same shingle definition) emits
+    val jac = SparkEntry.queries("q_jaccard_shingles")(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(jac == Set((201L, 202L), (203L, 204L), (205L, 206L)),
+      s"exact tier pair set: $jac")
+    val s60 = sweep.find(_._1 == 60L).get
+    assert(s60._2 == jac.size &&
+      s60._3 == jac.flatMap(p => Seq(p._1, p._2)).size,
+      s"60-cut must equal the exact tier: $s60 vs $jac")
+  }
 }

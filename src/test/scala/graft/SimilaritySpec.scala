@@ -520,6 +520,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"kNN-graph recall $recall vs exact quantized top-3")
   }
 
+  test("BottomKPairs: k smallest (dist,id), exact-dup dedup, partition-layout-free") {
+    import spark.implicits._
+    // ties in dist (3,150)/(3,200), exact duplicates (the multi-table
+    // collision case), and a below-bar straggler (9,50)
+    val rows = Seq(
+      (1L, 5L, 100L), (1L, 5L, 100L), (1L, 3L, 200L), (1L, 3L, 150L),
+      (1L, 9L, 50L), (1L, 3L, 150L), (1L, 7L, 60L),
+      (2L, 1L, 1L)).toDF("g", "qd", "id")
+    def run(parts: Int) = rows.repartition(parts).groupBy("g")
+      .agg(graft.expr.BottomKPairs(col("qd"), col("id"), 3).as("tk"))
+      .select(col("g"), col("tk"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    val got = run(1)
+    assert(got(1L) == Seq((3L, 150L), (3L, 200L), (5L, 100L)), s"$got")
+    assert(got(2L) == Seq((1L, 1L)))
+    // merge path: any partition layout gives the identical answer
+    (2 to 7).foreach(p => assert(run(p) == got, s"layout $p diverged"))
+  }
+
   test("knnGraphQuantized: dedup-first and fold-in-join strategies are result-identical") {
     import spark.implicits._
     val emb = graft.ops.tbl(spark, sfDir, "embeddings")
