@@ -163,23 +163,48 @@ object TextOps {
     val sh0 = tokens.select(col("doc_id"), xxhash64(col("token")).as("token"))
       .distinct()
       .localCheckpoint(eager = false)
-    val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCeiling).select("token")
+    val dfF = sh0.groupBy("token").agg(count(lit(1)).as("df"))
+    val hot = dfF.filter(col("df") > dfCeiling).select("token")
     val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
-    // Carry each doc's set size on its index rows: (1) the standard
-    // length filter prunes size-incompatible pairs AT THE JOIN — J ≥ t
-    // forces t·|B| ≤ |A| (for |A| ≤ |B|), so most random pairs never
-    // reach the intersection-count shuffle; (2) sizes ride through the
-    // groupBy keys, deleting the two post-aggregation size joins the
-    // previous formulation needed. +8 bytes per index row on the wire.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val idx = sh.join(sizes, "doc_id")
-    idx.as("a").join(idx.as("b"),
+    // PREFIX FILTERING (r18 — the All-Pairs/PPJoin family prune, public
+    // algorithm): candidates come from a self-join over each doc's
+    // RAREST (sz − ceil(t·sz) + 1) tokens only, rarity = global (df,
+    // token) order. Lossless for J ≥ t: the size-ratio prune admits only
+    // t·|B| ≤ |A| ≤ |B| partners, so |A∩B| ≥ t·(|A|+|B|)/(1+t) ≥
+    // ceil(t·max(|A|,|B|)) =: α, and by pigeonhole α common tokens
+    // cannot all hide in a doc's last α−1 positions — each side's
+    // static prefix (its own-size formula, ≥ the pair-level |X|−α+1)
+    // must contain a common token. OUTPUT IS PROVABLY UNCHANGED (the
+    // DuckDB oracle keeps the plain all-pairs formulation as the
+    // semantic spec); what changes is the intermediate: candidate pairs
+    // are Σ_token df_prefix², and high-df boilerplate shingles rank
+    // LAST in rarity order so they leave every prefix. Without this the
+    // intersection shuffle is Σ_token df² — measured >42 GB of spill at
+    // 500 k docs (disk-full at 8 and 24 GB heaps alike, PROFILE_r18):
+    // the dfCeiling guard alone bounds the per-token factor but not the
+    // boilerplate MASS under it. Exact inter/union counts then run only
+    // on candidates (the q_dedup_threshold_sweep rescore shape — cost ∝
+    // candidates, not corpus²).
+    val prefLen = col("sz") - expr(s"($minSim10 * sz + 9) div 10") + 1
+    val pref = sh.join(dfF, "token")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(asc_nulls_first("df"), asc_nulls_first("token"))))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= prefLen)
+      .select("doc_id", "token", "sz")
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id")
           && col("a.sz") * 10 >= col("b.sz") * minSim10
           && col("b.sz") * 10 >= col("a.sz") * minSim10)
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("a_sz"), col("b.sz").as("b_sz"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("token")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("token")), Seq("b_id", "token"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
       .agg(count(lit(1)).as("inter_cnt"))
       .withColumn("union_cnt", (col("a_sz") + col("b_sz") - col("inter_cnt")).cast("long"))
       .filter(col("inter_cnt") * 10 > col("union_cnt") * minSim10)
@@ -201,20 +226,40 @@ object TextOps {
       dfCeiling: Long, minCont10: Int = 8): org.apache.spark.sql.DataFrame = {
     val sh0 = tokens.select(col("doc_id"), xxhash64(col("token")).as("token"))
       .distinct()
-      .localCheckpoint(eager = false) // same 4-consumer reuse as jaccardPairs
-    val hot = sh0.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCeiling).select("token")
+      .localCheckpoint(eager = false) // same multi-consumer reuse as jaccardPairs
+    val dfF = sh0.groupBy("token").agg(count(lit(1)).as("df"))
+    val hot = dfF.filter(col("df") > dfCeiling).select("token")
     val sh = sh0.join(broadcast(hot), Seq("token"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Unlike jaccardPairs, sizes do NOT ride the index rows: they appear
-    // in no join condition here, so carrying them through the
-    // intersection shuffle (the big one — every co-bucketed pair) would
-    // widen it for nothing. Join them onto the aggregated pair set
-    // instead: the doc-count-sized frame meets the pair-count-sized
-    // frame, both orders of magnitude below the index.
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // ONE-SIDED prefix filter (r18; see jaccardPairs for the two-sided
+    // form and the measured disk-fill it cures). Containment admits any
+    // size gap, so a SYMMETRIC prefix is unsound (a huge container
+    // paired with a tiny doc needs its full set indexed) — but every
+    // qualifying pair has o > t·min(|A|,|B|), and by pigeonhole the
+    // CONTAINED side's first (sz − (t·sz div 1) ... sz − floor(t·sz))
+    // rarest tokens must hold a common token, which sits ANYWHERE in the
+    // container. So candidates = contained-PREFIX ⋈ FULL index: the
+    // Σ df² blowup becomes Σ df_prefix·df, and boilerplate leaves the
+    // prefix side. Exact rescore on candidates only; both directions
+    // fall out of one a<b candidate set as before.
+    val prefLen = col("sz") - expr(s"($minCont10 * sz) div 10")
+    val pref = sh.join(dfF, "token")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(asc_nulls_first("df"), asc_nulls_first("token"))))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= prefLen)
+      .select("doc_id", "token")
+    val candRaw = pref.as("p").join(sh.as("f"),
+        col("p.token") === col("f.token")
+          && col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("a_id"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("b_id"))
+      .distinct()
+    val inter = candRaw
+      .join(sh.select(col("doc_id").as("a_id"), col("token")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("token")), Seq("b_id", "token"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter_cnt"))
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
