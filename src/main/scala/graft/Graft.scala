@@ -20,6 +20,22 @@ import org.apache.spark.sql.SparkSession
   *     aggregates exist to avoid. 2^21 groups × O(k) state ≈ tens of MB
   *     per task, far under executor memory at the partition sizes the
   *     engine targets.
+  *
+  *     CONSTRAINT the raised threshold imposes (r18 ADVICE): it is a
+  *     session-wide dial, so it also governs every collect_list /
+  *     collect_set / unbounded-buffer ObjectHashAggregate — those may now
+  *     hold up to 2^21 group buffers per task before the sort-based
+  *     spill safety valve fires. The engine's own unbounded object aggs
+  *     are all either low-cardinality-grouped (per-source, per-band
+  *     censuses) or bounded upstream (the q_cms_freq_est reassembly
+  *     groups 4096 fixed cells); library users adding NEW unbounded
+  *     object aggregates grouped by a high-cardinality key should size
+  *     per-task group count × buffer size against executor memory, or
+  *     lower the threshold for that job. The sizing argument above is
+  *     for bounded small-k buffers only (BottomKPairs caps k at 4096 ≈
+  *     64 KB/group). Measured headroom: PROFILE_r19 pins a multi-M-group
+  *     ObjectHashAggregate key at sf100 inside the standard 8 GB heap
+  *     under this threshold.
   */
 object Graft {
 

@@ -152,7 +152,17 @@ final class MemoryChain(spark: SparkSession,
   override def safeDest(dest: String): Boolean = dests.forall(_.contains(dest))
 
   // ---- sink half (upstream side) ----
-  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = {
+  // synchronized: admission must be atomic per (batchId, dest). Without
+  // it, a concurrent duplicate delivery that arrives while the first is
+  // in flight sees seenBatches.add()==false, counts as a replay, and
+  // returns success — but if the first delivery is then rolled back
+  // (cap refusal, addData failure remove the key), the epoch ends up
+  // neither admitted nor forwarded while one caller observed success: a
+  // silent-loss window the loud-refusal design exists to exclude (r18
+  // ADVICE). Serializing the whole method is cheap here — this is the
+  // driver-side test/local adapter; production chains use the
+  // executor-side parquet spool (FileAdapters.chainSource).
+  def write(batch: Dataset[Msg], dest: String, batchId: Long): Unit = synchronized {
     require(safeDest(dest),
       s"dest '$dest' is not chained (chain carries ${dests.getOrElse(Set("*"))})")
     require(!stopped, "chain is stopped (downstream drain began)")

@@ -123,6 +123,12 @@ case class BottomKPairs(dist: Expression, key: Expression, k: Int,
     val bb = ByteBuffer.wrap(bytes)
     val b = new BottomKPairsBuffer(k)
     val n = bb.getInt
+    // A truncated/corrupt buffer or a k mismatch between serialize and
+    // deserialize sites would otherwise surface as an uncontexted
+    // ArrayIndexOutOfBounds deep inside the aggregate (r18 ADVICE).
+    require(n >= 0 && n <= k && bytes.length >= 4 + 16 * n,
+      s"$prettyName: corrupt serialized buffer (n=$n, k=$k, " +
+        s"bytes=${bytes.length}, need ${4 + 16 * math.max(n, 0)})")
     var i = 0
     while (i < n) { b.ds(i) = bb.getLong; b.ids(i) = bb.getLong; i += 1 }
     b.n = n

@@ -41,13 +41,50 @@ object IndexFrames {
     s"${f.getName}-${md.substring(0, 8)}"
   }
 
+  /** Per-process token: non-oracle fixtures write under a pid-scoped
+    * subtree so two concurrent JVMs (parallel bench + verify, two test
+    * runs) over the same fixture can never interleave an overwrite-delete
+    * with the other's read-back (r18 ADVICE). Only the pinned oracle
+    * fixture keeps the stable path the oracle SQL renders.
+    */
+  private val procToken =
+    s"pid-${java.lang.ProcessHandle.current.pid}"
+
+  private def isOracleFixture(d: String): Boolean =
+    dirKey(d) == dirKey(OracleFixtureDir)
+
   /** Persist `df` as the `name` index frame for fixture `d`, read it back.
     * The write runs at query-construction time — deliberate: Verify always
     * constructs before the driver's DuckDB pass reads the frame.
+    *
+    * Concurrency (r18 ADVICE): non-oracle fixtures write under a
+    * per-process subtree (no cross-JVM sharing is ever needed — the frame
+    * is read back only by this session). The oracle fixture must keep the
+    * exact path the oracle SQL pins, so it stages to a process-unique tmp
+    * dir and swaps in with delete+rename — shrinking the exposed window
+    * from the full parquet write to one directory swap.
     */
   def persist(df: DataFrame, d: String, name: String): DataFrame = {
+    if (!isOracleFixture(d)) {
+      val out = s"$Root/$procToken/${dirKey(d)}/$name"
+      df.write.mode("overwrite").parquet(out)
+      return df.sparkSession.read.parquet(out)
+    }
     val out = s"$Root/${dirKey(d)}/$name"
-    df.write.mode("overwrite").parquet(out)
+    val tmp = s"$out.$procToken-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode("overwrite").parquet(tmp)
+    val outF = new java.io.File(out)
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(outF)
+    if (!new java.io.File(tmp).renameTo(outF)) {
+      // A concurrent session swapped its (identical-content) frame in
+      // between our delete and rename — read the winner, drop our copy.
+      rmTree(new java.io.File(tmp))
+      require(outF.exists(), s"IndexFrames.persist: swap of $out failed")
+    }
     df.sparkSession.read.parquet(out)
   }
 

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * q_pipeline_clean (✓ oracle): quality gate + exact dedup + stats — fully
   * relational, DuckDB-checkable.
-  * q_pipeline_full (✗): additionally removes MinHash-LSH near-duplicate
-  * candidates (keeps the lower doc_id of each candidate pair); signature
-  * hashes are engine-specific, so it is ScalaTest-verified.
+  * q_pipeline_full (✓ oracle since r19): additionally removes MinHash-LSH
+  * near-duplicate candidates (keeps the lower doc_id of each candidate
+  * pair) via the PORTABLE md5-slice hash family, so the whole composition
+  * is DuckDB-hash-checkable; PipelineSpec pins planted drop/survive on
+  * top.
   */
 object Pipeline {
 
@@ -68,11 +70,15 @@ object Pipeline {
   }
 
   /** Near-dup removal: drop the higher doc_id of every MinHash-LSH
-    * candidate pair (pair generation is Dedup.minhashPairs — one
-    * definition, one set of parameters).
+    * candidate pair. Pair generation defaults to Dedup.minhashPairs (one
+    * definition, one set of parameters — the xxhash64 library default);
+    * `pairsFn` lets a caller swap in the portable-hash twin
+    * (Dedup.minhashPairsPortable, identical banding/shuffle shape) when
+    * the composition must face a cross-engine hash oracle.
     */
-  def nearDupRemoval(df: DataFrame): DataFrame = {
-    val drop = Dedup.minhashPairs(df.select("doc_id", "text"))
+  def nearDupRemoval(df: DataFrame,
+      pairsFn: DataFrame => DataFrame = Dedup.minhashPairs): DataFrame = {
+    val drop = pairsFn(df.select("doc_id", "text"))
       .select(col("b_id").as("doc_id")).distinct()
     df.join(drop, Seq("doc_id"), "left_anti")
   }
@@ -276,10 +282,35 @@ object Pipeline {
              |FROM s GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
     ),
     Q(
+      // The FULL composed pipeline: gate → exact dedup → MinHash near-dup
+      // removal → per-lang audit census. r19 ✗→✓: the near-dup stage runs
+      // the PORTABLE-hash pair family (Dedup.minhashPairsPortable — the
+      // same md5-slice shingle hash + affine perms that made
+      // q_minhash_neardup oracle-checkable in r16, identical banding and
+      // shuffle shape to the xxhash64 library default), so the WHOLE
+      // composition — both upstream relational stages, the banded
+      // candidate generation, the keep-lower-id drop rule, and the final
+      // census — faces the DuckDB rows+schema+hash oracle. PipelineSpec
+      // additionally pins planted drop/survive behavior.
       "q_pipeline_full",
       (s, d) =>
-        langStats(nearDupRemoval(exactDedup(qualityGate(tbl(s, d, "documents"))))),
-      None
+        langStats(nearDupRemoval(exactDedup(qualityGate(tbl(s, d, "documents"))),
+          Dedup.minhashPairsPortable)),
+      Some(s"""WITH g AS (
+              |  SELECT * FROM documents
+              |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+              |e AS (
+              |  SELECT * FROM (
+              |    SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS min_id
+              |    FROM g)
+              |  WHERE doc_id = min_id),
+              |${Dedup.minhashPairsSqlCtes("e")},
+              |nd AS (
+              |  SELECT * FROM e
+              |  WHERE doc_id NOT IN (SELECT b_id FROM pairs))
+              |SELECT lang, COUNT(*) AS doc_cnt,
+              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              |FROM nd GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Split-leakage census: exact-duplicate text groups whose copies

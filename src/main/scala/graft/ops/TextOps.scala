@@ -902,21 +902,26 @@ object TextOps {
       // the share of token occurrences whose corpus document frequency is
       // ≤ dfMax — high ratios flag gibberish/OCR noise, near-zero ratios
       // flag boilerplate. The TF-IDF shape at scale: tokens are xxhash64'd
-      // ONCE at the scan so every shuffle (the distinct for DF, the
-      // occurrence join on token, the per-doc rollup) moves an 8-byte key,
-      // never the string; the token frame is localCheckpointed because it
-      // feeds both the DF count and the occurrence join (no exchange for
-      // ReuseExchange when AQE broadcasts). Exact integer numerator, ONE
-      // final IEEE division. Collision caveat as the shingle family: a
-      // 64-bit token collision merges two DF counts — expectation ≪1
-      // through billions of distinct tokens.
+      // at the scan so every shuffle (the distinct for DF, the occurrence
+      // join on token, the per-doc rollup) moves an 8-byte key, never the
+      // string. TWO independent streaming scans feed the DF count and the
+      // occurrence join — NO resident copy (r19): the previous shape
+      // localCheckpointed the exploded (doc_id, hash) frame to share it,
+      // and at sf100 that ~250 M-row materialization starved execution
+      // memory through the protected storage fraction — the exact q_bm25/
+      // q_session_window resident-copy cliff (measured 31× decade sf10→
+      // sf100, GCLocker thrash at the 8 GB ledger heap — PROFILE_r19).
+      // Tokenize-twice is a cheap streaming
+      // projection; a data-sized copy is impossible at 100 TB. Exact
+      // integer numerator, ONE final IEEE division. Collision caveat as
+      // the shingle family: a 64-bit token collision merges two DF
+      // counts — expectation ≪1 through billions of distinct tokens.
       "q_rare_token_ratio",
       (s, d) => {
         val dfMax = 2L
-        val toks = tbl(s, d, "documents")
+        def toks = tbl(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-          .localCheckpoint(eager = false)
         val dfCnt = toks.distinct()
           .groupBy("th").agg(count(lit(1)).as("df"))
         toks.join(dfCnt, Seq("th"))

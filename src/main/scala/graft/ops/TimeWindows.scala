@@ -631,30 +631,87 @@ object TimeWindows {
              |ORDER BY day ASC NULLS FIRST""".stripMargin)
     ),
     Q(
-      // Mergeable-sketch rollup: per-day HLL sketches built ONCE, then
-      // UNIONED into the total — distinct users per day AND overall from
-      // one scan, no re-aggregation of raw data. This is the 100 TB
+      // Mergeable-sketch rollup: per-day HLL REGISTER TABLES built ONCE,
+      // then UNIONED into the total — distinct users per day AND overall
+      // from one scan, no re-aggregation of raw data. This is the 100 TB
       // cardinality architecture: sketches are partial-aggregate state
-      // (constant size), so daily sketches persist and any period rolls
-      // up by union, never by rescan. Sketch bytes are engine-specific →
-      // ScalaTest bound vs exact.
+      // (constant size, here ≤ m=4096 (bucket, reg) rows/day), daily
+      // sketches persist and any period rolls up by register-max, never
+      // by rescan. r19 ✗→✓: the sketch state is the engine's OWN portable
+      // register table (bucket = low 12 bits of the 60-bit md5-slice user
+      // hash, reg = HLL rho of the remaining 48 bits = 49 − bitlength,
+      // pure integers both engines), so the full pipeline — per-day
+      // registers, the union's register-max (computed FROM the per-day
+      // sketch frame, exercising mergeability), and the summary censuses —
+      // is DuckDB-hash-checkable. Only the float ESTIMATOR stays engine/
+      // ScalaTest-side (TimeWindowSpec: linear-counting estimate from
+      // set_buckets within 5% of exact per day AND for the union), as a
+      // presentation-layer function of the checked integer state. The
+      // previous form (Spark hll_sketch_agg) had engine-specific sketch
+      // bytes — unverifiable past the estimate.
       "q_hll_union",
       (s, d) => {
-        val daily = tbl(s, d, "events")
-          .groupBy(date_trunc("day", col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"),
-            count(lit(1)).as("events"))
-        val perDay = daily.select(col("day"),
-          hll_sketch_estimate(col("sk")).as("distinct_users"), col("events"))
-        val total = daily.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users"),
-          sum(col("events")).cast("long").as("events"))
-          .select(lit(null).cast("timestamp").as("day"),
-            col("distinct_users"), col("events"))
-        perDay.unionByName(total)
+        val m = 4096
+        val regsAll = tbl(s, d, "events")
+          .select(date_trunc("day", col("ts")).as("day"),
+            conv(md5(col("user_id").cast("string")).substr(1, 15), 16, 10)
+              .cast("long").as("h"))
+          .select(col("day"), (col("h") % m).as("bucket"),
+            expr(s"h div $m").as("w"))
+          .select(col("day"), col("bucket"),
+            when(col("w") === 0L, lit(49L))
+              .otherwise(lit(49L) - length(conv(col("w"), 10, 2)).cast("long"))
+              .as("rho"))
+        // Per-day sketch: one register row per populated bucket. cnt rides
+        // along so the events tally needs no second scan.
+        val daily = regsAll.groupBy("day", "bucket")
+          .agg(max(col("rho")).as("reg"), count(lit(1)).as("cnt"))
+        val perDay = daily.groupBy("day")
+          .agg(count(lit(1)).as("set_buckets"),
+            sum(col("reg")).cast("long").as("reg_sum"),
+            max(col("reg")).as("reg_max"),
+            sum(col("cnt")).cast("long").as("events"))
+        // Union = register-wise MAX over the per-day sketch frame — the
+        // HLL merge, run on sketch state, not raw data.
+        val union = daily.groupBy("bucket").agg(max(col("reg")).as("reg"))
+        val total = union
+          .agg(count(lit(1)).as("set_buckets"),
+            sum(col("reg")).cast("long").as("reg_sum"),
+            max(col("reg")).as("reg_max"))
+          .crossJoin(broadcast(daily.agg(sum(col("cnt")).cast("long").as("events"))))
+          .select(lit(null).cast("timestamp").as("day"), col("set_buckets"),
+            col("reg_sum"), col("reg_max"), col("events"))
+        perDay.select("day", "set_buckets", "reg_sum", "reg_max", "events")
+          .unionByName(total)
           .orderBy(asc_nulls_first("day"))
       },
-      None
+      Some("""WITH h AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM events),
+             |b AS (SELECT day, h % 4096 AS bucket, h // 4096 AS w FROM h),
+             |r AS (
+             |  SELECT day, bucket,
+             |    MAX(CASE WHEN w = 0 THEN 49
+             |        ELSE 49 - length(format('{:b}', w)) END) AS reg,
+             |    COUNT(*) AS cnt
+             |  FROM b GROUP BY day, bucket),
+             |pd AS (
+             |  SELECT day, COUNT(*) AS set_buckets,
+             |    CAST(SUM(reg) AS BIGINT) AS reg_sum,
+             |    CAST(MAX(reg) AS BIGINT) AS reg_max,
+             |    CAST(SUM(cnt) AS BIGINT) AS events
+             |  FROM r GROUP BY day),
+             |u AS (SELECT bucket, MAX(reg) AS reg FROM r GROUP BY bucket),
+             |tot AS (
+             |  SELECT CAST(NULL AS TIMESTAMP) AS day,
+             |    (SELECT COUNT(*) FROM u) AS set_buckets,
+             |    (SELECT CAST(SUM(reg) AS BIGINT) FROM u) AS reg_sum,
+             |    (SELECT CAST(MAX(reg) AS BIGINT) FROM u) AS reg_max,
+             |    (SELECT CAST(SUM(cnt) AS BIGINT) FROM r) AS events)
+             |SELECT * FROM pd UNION ALL SELECT * FROM tot
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)
     ),
     Q(
       // Per-group exact discrete percentiles (r13): p50/p90/p99 of value

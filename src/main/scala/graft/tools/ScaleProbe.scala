@@ -92,11 +92,14 @@ object ScaleProbe {
           .cast("long").as(s"proj_cap$cap")
       }
       val r = buckets.groupBy("tbl", "bkt").agg(count(lit(1)).as("occ"))
-        .agg(sum(col("occ") * (col("occ") - 1)).as("collisions"),
-          max(col("occ")).as("max_occ"),
-          expr("approx_percentile(occ, 0.99)").as("p99_occ"),
+        .agg(coalesce(sum(col("occ") * (col("occ") - 1)), lit(0L))
+            .as("collisions"),
+          coalesce(max(col("occ")), lit(0L)).as("max_occ"),
+          coalesce(expr("approx_percentile(occ, 0.99)"), lit(0L))
+            .as("p99_occ"),
           count(lit(1)).as("n_buckets"),
-          projected(64), projected(128))
+          coalesce(projected(64), lit(0L)).as("proj_cap64"),
+          coalesce(projected(128), lit(0L)).as("proj_cap128"))
         .collect()(0)
       println(s"lib_collision_census collisions=${r.get(0)} " +
         s"max_occ=${r.get(1)} p99_occ=${r.get(2)} n_buckets=${r.get(3)} " +
@@ -110,6 +113,96 @@ object ScaleProbe {
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("vec_id"))
       emb.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+    }
+
+    // Media hash-tier probes (r19): the media family's cost model is
+    // "one decode-bound mapPartitions pass, then only 8-byte hashes
+    // shuffle". The decode pass is shuffle-free and per-item — linear by
+    // construction (no joint state, pixels never cross the wire) and
+    // measured per-item at sf10; the tier whose 1000× behavior actually
+    // needs MEASURING is the post-decode shuffle tier (census groupBy +
+    // pigeonhole Hamming join). Materializing 5 M real payloads is
+    // censused infeasible on this box (~8.4 KB/item → ~42 GB vs 48 GB
+    // free, colliding with required shuffle-spill headroom — PROFILE_r19),
+    // so these probes synthesize the hash frame AT FULL ITEM COUNT (= the
+    // fixture's documents count, the 1 item/doc v6 contract) with the
+    // fixture's dup structure — exact-dup clusters of 4 per 200-id block
+    // (2%) plus two 1-bit near-dup satellites per block (1%) — and run
+    // the SAME census/banding code the declared keys run
+    // (MediaOps.hammingNearDupPairs; the groupBy census shape of
+    // q_media_phash_dup/q_media_vhash_dup).
+    val mediaItems = graft.ops.tbl(spark, sfDir, "documents").count()
+    def mediaHashFrame = {
+      val base = spark.range(mediaItems)
+        .select(col("id").as("media_id"),
+          (col("id") - (col("id") % 200)).as("cid"),
+          (col("id") % 200).as("pos"))
+      base.select(col("media_id"),
+        when(col("pos") < 4, xxhash64(col("cid")))
+          .when(col("pos") < 6,
+            xxhash64(col("cid")).bitwiseXOR(
+              expr("shiftleft(1L, cast(media_id % 48 + 8 as int))")))
+          .otherwise(xxhash64(col("media_id"), lit(7)))
+          .as("phash"))
+    }
+    if (only.isEmpty || only("media_census_tier") || only("media_hamming_tier"))
+      println(s"media_hash_tier items=$mediaItems (1 item/doc, v6 contract)")
+    // Zipf prefix-filter census (r19): PROFILE_r18 §4 measured the
+    // All-Pairs/PPJoin prefix prune at only 2.8× on the synthetic fixture
+    // and PROJECTED "orders of magnitude" on natural (selective) token
+    // distributions — this probe replaces the projection with a number.
+    // It synthesizes a shingle index with the same corpus dimensions as
+    // the real sf fixture (nDocs = the fixture's documents count, ~53
+    // distinct shingles/doc) but a ZIPFIAN document-frequency law
+    // (rank = floor(u^-2) ⇒ pmf ∝ rank^-1.5, the natural-corpus shape —
+    // near-unique shingles dominate, a stopword head exists), then
+    // censuses the inverted-index candidate mass Σ df·(df−1) in three
+    // tiers exactly as jaccardPairs builds them: raw, after the
+    // dfCeiling=1000 hot-token drop, and after the rarity-order prefix
+    // (rn ≤ sz − ceil(0.6·sz) + 1 — the q_jaccard_shingles parameters).
+    if (only.isEmpty || only("zipf_prefix_census")) {
+      val nDocs = graft.ops.tbl(spark, sfDir, "documents").count()
+      val slots = 53L
+      val tok = spark.range(nDocs * slots).select(
+          (col("id") / slots).cast("long").as("doc_id"),
+          floor(pow(
+            (pmod(xxhash64(col("id"), lit(13)), lit(1048576L)) + 1L)
+              .cast("double") / 1048578.0, -2.0)).cast("long").as("token"))
+        .distinct()
+      val dfAll = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val dfKept = dfAll.filter(col("df") <= 1000L)
+      val sh = tok.join(dfKept, "token")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pref = sh
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(asc_nulls_first("df"), asc_nulls_first("token"))))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= col("sz") - expr("(6 * sz + 9) div 10") + 1)
+      def mass(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.agg(coalesce(sum(col(c) * (col(c) - 1)), lit(0L)).cast("long"))
+          .collect()(0).getLong(0)
+      val idxRows = tok.count()
+      val nTok = dfAll.count()
+      val maxDf = dfAll.agg(coalesce(max(col("df")), lit(0L))).collect()(0).getLong(0)
+      val mRaw = mass(dfAll, "df")
+      val mCeil = mass(dfKept, "df")
+      val dfp = pref.groupBy("token").agg(count(lit(1)).as("dfp"))
+      val mPref = mass(dfp, "dfp")
+      println(s"zipf_prefix_census docs=$nDocs index_rows=$idxRows " +
+        s"distinct_tokens=$nTok max_df=$maxDf mass_raw=$mRaw " +
+        s"mass_ceiling=$mCeil mass_prefix=$mPref " +
+        f"ceil_cut=${mRaw.toDouble / math.max(mCeil, 1)}%.1fx " +
+        f"prefix_cut=${mCeil.toDouble / math.max(mPref, 1)}%.1fx")
+    }
+
+    time("media_census_tier") {
+      mediaHashFrame.groupBy("phash")
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("canonical_id"))
+    }
+    time("media_hamming_tier") {
+      graft.multimodal.MediaOps.hammingNearDupPairs(
+        mediaHashFrame, "phash", maxHamming = 3)
     }
     spark.stop()
   }

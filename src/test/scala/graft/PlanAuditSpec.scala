@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec
     "q_type_corr", // |event_type|-row type frame broadcast (grid spine)
     "q_graph_pagerank", // 1-row node-count aggregate broadcast (r0/teleport)
     "q_cooccur_types", // 1-row distinct-user total broadcast (lift denominator)
+    "q_hll_union", // 1-row total-events aggregate broadcast onto the 1-row union census
     "q_media_features_topk",
     "q_dedup_threshold_sweep", // 5-row threshold frame broadcast (curve cross)
     "q_cross_join") // region × nation: two single-digit-row dims

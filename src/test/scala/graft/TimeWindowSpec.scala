@@ -59,19 +59,39 @@ class TimeWindowSpec extends SparkSpec {
       "the relational gaps-and-islands count must equal session_window's")
   }
 
-  test("q_hll_union: sketch rollup within 5% of exact, total = union of days") {
+  test("q_hll_union: register-table estimator within 5% of exact, " +
+      "total = union of days") {
+    // The query's output is the integer HLL register state (oracle-
+    // checked vs DuckDB); this spec pins the ESTIMATOR — the one float
+    // presentation-layer step deliberately kept out of the hash-checked
+    // output. At fixture cardinality (n ≪ m = 4096) the sketch sits in
+    // the linear-counting regime: est = m·ln(m / (m − set_buckets)).
+    val m = 4096.0
     val rows = query("q_hll_union")
-      .select(col("day").cast("string"), col("distinct_users"), col("events"))
-      .as[(Option[String], Long, Long)].collect()
+      .select(col("day").cast("string"), col("set_buckets"),
+        col("reg_max"), col("events"))
+      .as[(Option[String], Long, Long, Long)].collect()
     val (totalRow, dayRows) = rows.partition(_._1.isEmpty)
     assert(totalRow.length == 1 && dayRows.nonEmpty)
+    def lc(setBuckets: Long): Double = m * math.log(m / (m - setBuckets))
+    val exactByDay = graft.ops.tbl(spark, sfDir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    dayRows.foreach { case (day, sb, _, _) =>
+      val exact = exactByDay(day.get)
+      assert(math.abs(lc(sb) - exact) / exact < 0.05,
+        s"day $day: LC estimate ${lc(sb)} vs exact $exact")
+    }
     val exactTotal = graft.ops.tbl(spark, sfDir, "events")
       .select("user_id").distinct().count()
-    val est = totalRow.head._2.toDouble
-    assert(math.abs(est - exactTotal) / exactTotal < 0.05,
-      s"union estimate $est vs exact $exactTotal")
+    assert(math.abs(lc(totalRow.head._2) - exactTotal) / exactTotal < 0.05,
+      s"union LC estimate ${lc(totalRow.head._2)} vs exact $exactTotal")
+    // union register state dominates every day's (max-merge property)
+    assert(totalRow.head._2 >= dayRows.map(_._2).max)
+    assert(totalRow.head._3 >= dayRows.map(_._3).max)
     // events tally exactly
-    assert(dayRows.map(_._3).sum == totalRow.head._3)
+    assert(dayRows.map(_._4).sum == totalRow.head._4)
   }
 
   test("q_approx_distinct within 5% of exact per event_type") {
