@@ -9,7 +9,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,7 +46,7 @@ object Bench {
         "q_embed_clusters", "q_media_decode", "q_kmeans_assign",
         "q_kmeans_update", "q_bpe_train").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        try { org.apache.spark.sql.GraftBridge.runExactPlan(fn(spark, sfDir)) }
         catch { case _: Throwable => () }
       }
     }
@@ -70,7 +69,7 @@ object Bench {
       // output column (a DataFrame count() would let Catalyst prune the
       // projections away and flatter projection-heavy queries).
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        try { org.apache.spark.sql.GraftBridge.runExactPlan(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

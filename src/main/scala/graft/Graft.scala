@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 
 /** One-call entry point for users of this engine: a SparkSession with the
   * engine's required/recommended configuration applied and the native SQL
@@ -11,31 +11,23 @@ import org.apache.spark.sql.SparkSession
   *   - nanosAsLong for parquet timestamp[ns] columns (see graft.ops.tbl).
   * Recommended at any scale:
   *   - shuffle partitions sized to the cluster (NOT the 200 default —
-  *     pass ~2-3× total executor cores; AQE coalesces downward at runtime);
-  *   - objectHashAggregate fallback threshold raised from the 128 default:
-  *     the engine's bounded typed aggregates (BottomKPairs kNN reducer,
-  *     TopKByValue, CountMinSketch) carry O(k) state per group, so the
-  *     default would demote them to SORT-based aggregation after 128
-  *     groups — re-introducing exactly the per-partition n log n the
-  *     aggregates exist to avoid. 2^21 groups × O(k) state ≈ tens of MB
-  *     per task, far under executor memory at the partition sizes the
-  *     engine targets.
+  *     pass ~2-3× total executor cores; AQE coalesces downward at runtime).
   *
-  *     CONSTRAINT the raised threshold imposes (r18 ADVICE): it is a
-  *     session-wide dial, so it also governs every collect_list /
-  *     collect_set / unbounded-buffer ObjectHashAggregate — those may now
-  *     hold up to 2^21 group buffers per task before the sort-based
-  *     spill safety valve fires. The engine's own unbounded object aggs
-  *     are all either low-cardinality-grouped (per-source, per-band
-  *     censuses) or bounded upstream (the q_cms_freq_est reassembly
-  *     groups 4096 fixed cells); library users adding NEW unbounded
-  *     object aggregates grouped by a high-cardinality key should size
-  *     per-task group count × buffer size against executor memory, or
-  *     lower the threshold for that job. The sizing argument above is
-  *     for bounded small-k buffers only (BottomKPairs caps k at 4096 ≈
-  *     64 KB/group). Measured headroom: PROFILE_r19 pins a multi-M-group
-  *     ObjectHashAggregate key at sf100 inside the standard 8 GB heap
-  *     under this threshold.
+  * The ObjectHashAggregate sort-based fallback threshold stays at Spark's
+  * 128 default session-wide — that low default is the memory safety valve
+  * for every unbounded object aggregate (collect_list/collect_set and any
+  * user-added typed agg), and r19 MEASURED why it must stay: a raised
+  * 2^21 threshold OOMed a 15 M-group small-k aggregate (q_topk_agg,
+  * ~0.5 KB boxed buffer per group × 32 concurrent tasks) at sf100 inside
+  * the standard 8 GB heap — the per-group buffer bound alone does not cap
+  * memory; group count per task does, and that is data-dependent. The
+  * engine's bounded typed aggregates that genuinely need the hash path at
+  * high group counts (the BottomKPairs kNN fold — a sort-based demotion
+  * re-introduces exactly the per-partition n log n the aggregate exists
+  * to avoid) get the raise PER QUERY via [[boundedAggFrame]]: the frame
+  * is re-homed onto a cloned session whose only delta is the threshold,
+  * so the override travels with that frame's executions and never governs
+  * sibling queries (r18 ADVICE closed by scoping, not documentation).
   */
 object Graft {
 
@@ -50,12 +42,37 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.ui.enabled", ui)
       .getOrCreate()
     graft.expr.GraftExtensions.register(spark)
     spark
   }
+
+  /** Sizing of the scoped threshold: 2^18 groups/task × ~164 B per
+    * BottomKPairs buffer (4 + 16·k bytes at the kNN k=10 ceiling) ≈ 43 MB
+    * per task, ~1.4 GB across 32 concurrent local tasks — bounded against
+    * the 8 GB ledger heap. Measured (PROFILE_r19): at sf10 the 2^18 value
+    * is FASTER than the old global 2^21 (46.4 s vs 51.7 s warm q_knn_graph
+    * — smaller hash maps, same no-fallback behavior) and 28% faster than
+    * the 128 default's sort demotion; kNN per-task group counts stay well
+    * under 2^18 at sf100 because the occupancy cap bounds collisions per
+    * bucket and shuffle partitions scale with input.
+    */
+  val BoundedAggFallbackThreshold = 262144
+
+  /** Re-home `df` onto a session clone whose ObjectHashAggregate fallback
+    * threshold is raised to [[BoundedAggFallbackThreshold]] — the scoped
+    * form of the conf for SMALL-BOUNDED-buffer typed aggregates over
+    * high-cardinality groups (the kNN BottomKPairs fold). The clone shares
+    * the SparkContext and catalog; cloning costs ~ms against the
+    * minutes-scale queries that need it.
+    */
+  def boundedAggFrame(df: DataFrame): DataFrame =
+    GraftBridge.rehome(
+      GraftBridge.sessionWithConf(df.sparkSession,
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        BoundedAggFallbackThreshold.toString),
+      df)
 
   /** Register the fixture tables of `dir` as temp views so plain
     * `spark.sql` works over them (events gets the ns→µs timestamp

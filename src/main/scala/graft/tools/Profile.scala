@@ -28,7 +28,14 @@ object Profile {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // A/B dial for the ObjectHashAggregate fallback threshold (see
+      // Graft.scala — the session default is Spark's 128 safety valve;
+      // the kNN fold carries its own scoped raise). SPARK_GRAFT_FALLBACK
+      // overrides the SESSION value to measure a key under an alternative
+      // threshold without a code edit; note it cannot override the kNN
+      // fold's scoped clone.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_FALLBACK", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,13 +45,35 @@ object Profile {
     // lets the profiler measure both shapes of a key without a code edit.
     if (sys.env.get("SPARK_GRAFT_NOCHECKPOINT").contains("true"))
       spark.conf.set("graft.sortOnce.nocheckpoint", "true")
+    // SPARK_GRAFT_MEM=true: report the max per-task peakExecutionMemory and
+    // total spill observed during each query — the number that says whether
+    // an ObjectHashAggregate under the raised fallbackThreshold actually
+    // approaches the heap, rather than inferring it from "didn't OOM".
+    val memStats = if (sys.env.get("SPARK_GRAFT_MEM").contains("true")) {
+      val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              peak.getAndAccumulate(m.peakExecutionMemory, math.max)
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled)
+            }
+          }
+        })
+      Some((peak, spillMem, spillDisk))
+    } else None
     names.foreach { n =>
       val times = (0 until iters).map { _ =>
         // Scope the post-iteration cleanup to blocks THIS iteration
         // creates: snapshot the pre-existing persistent RDD ids first.
         val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        org.apache.spark.sql.GraftBridge.runExactPlan(graft.SparkEntry.queries(n)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         // Each iteration builds a FRESH plan, so the previous iteration's
         // lazy localCheckpoint blocks (sortOnce, multi-consumer frames)
@@ -59,7 +88,12 @@ object Profile {
           .foreach(_.unpersist(blocking = true))
         dt
       }
-      println(f"$n%-24s cold=${times.head}%7.3f warm_min=${times.tail.minOption.getOrElse(Double.NaN)}%7.3f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+      val mem = memStats.map { case (peak, sm, sd) =>
+        Thread.sleep(500) // listener bus is async; let task-end events drain
+        f"  peak_task_mem=${peak.get / 1048576.0}%.0fMB spill_mem=${sm.get / 1048576.0}%.0fMB spill_disk=${sd.get / 1048576.0}%.0fMB"
+      }.getOrElse("")
+      memStats.foreach { case (peak, sm, sd) => peak.set(0); sm.set(0); sd.set(0) }
+      println(f"$n%-24s cold=${times.head}%7.3f warm_min=${times.tail.minOption.getOrElse(Double.NaN)}%7.3f  all=${times.map(t => f"$t%.2f").mkString(",")}$mem")
     }
     spark.stop()
   }

@@ -45,7 +45,7 @@ object ScaleProbe {
       if (only.nonEmpty && !only(name)) return
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()
-        val rows = mk.queryExecution.toRdd.count()
+        val rows = org.apache.spark.sql.GraftBridge.runExactPlan(mk)
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val warm = times.tail.map(_._1)

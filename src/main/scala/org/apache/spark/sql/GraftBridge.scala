@@ -11,4 +11,42 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Clone `spark` (shared context/catalog, copied session state) and set
+    * `key`=`value` on the clone only. This is the per-QUERY conf scoping
+    * primitive: a Dataset re-homed onto the clone plans and executes under
+    * the overridden conf while the parent session keeps its default —
+    * `SQLExecution` propagates the conf of the Dataset's OWN session at
+    * action time, so the override travels with the returned frame and
+    * never leaks into sibling queries.
+    */
+  def sessionWithConf(spark: SparkSession, key: String, value: String): SparkSession = {
+    val c = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    c.conf.set(key, value)
+    c
+  }
+
+  /** Re-home `df`'s logical plan onto `session` (see [[sessionWithConf]]). */
+  def rehome(session: SparkSession, df: Dataset[Row]): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
+
+  /** Execute `df`'s EXACT physical plan (no extra count aggregate, no
+    * row decoding) the way a real Dataset action does: with the frame's
+    * OWN session active and its conf propagated through SQLExecution.
+    * A bare `df.queryExecution.toRdd.count()` — the natural way to drive
+    * a plan in a profiler — skips that wrapper, so planning reads the
+    * conf of whatever session is ambiently active on the thread and a
+    * [[sessionWithConf]]-scoped override never engages. Profiler/bench
+    * mains drive plans through this so they measure what `count()` /
+    * `collect()` / `write` would run.
+    */
+  def runExactPlan(df: Dataset[Row]): Long = {
+    val qe = df.queryExecution
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(df.sparkSession)
+    try execution.SQLExecution.withNewExecutionId(qe, None) {
+      qe.toRdd.count()
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
 }
