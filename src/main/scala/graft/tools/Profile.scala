@@ -23,9 +23,16 @@ object Profile {
     // SPARK_GRAFT_SHUFFLE at sf ≥ 100 (the same dial a real cluster sets
     // from input bytes / target partition size).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Input-split sizing is the scan-side twin of the shuffle dial: a
+    // single-directory fixture at sf100 can yield fewer 128 MB splits
+    // than cores, so explode-heavy scan stages (53 span rows per doc row)
+    // run underparallelized with multi-M-row per-task partial-agg state.
+    // SPARK_GRAFT_MAXPART (e.g. "32m") = files.maxPartitionBytes.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // A/B dial for the ObjectHashAggregate fallback threshold (see
@@ -86,6 +93,14 @@ object Profile {
         spark.sparkContext.getPersistentRDDs
           .collect { case (id, rdd) if !preexisting.contains(id) => rdd }
           .foreach(_.unpersist(blocking = true))
+        // Shuffle files are freed by the ContextCleaner only when the
+        // previous iteration's ShuffleDependency objects are GC'd — at
+        // low driver heap pressure they survive iterations and tens of
+        // GB of dead shuffle data stay on disk, so later "warm" runs
+        // measure a fuller disk, not the query (sf100 q_substring_dedup:
+        // 96.7 → 118.7 s ACROSS iterations before this). Nudge GC so the
+        // cleaner reclaims them between iterations.
+        System.gc()
         dt
       }
       val mem = memStats.map { case (peak, sm, sd) =>
