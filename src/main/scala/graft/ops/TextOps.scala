@@ -1261,12 +1261,18 @@ object TextOps {
       // reduces per doc.
       "q_unigram_surprisal",
       (s, d) => {
-        val toks = tbl(s, d, "documents")
+        // def, not localCheckpoint: the checkpointed 600 M-row token frame
+        // starved execution memory at sf100 (UNABLE_TO_ACQUIRE_MEMORY in
+        // the vocab agg — the q_bm25 resident-copy cliff, PROFILE_r19 §7);
+        // each consumer re-runs the streaming scan instead. The corpus
+        // total also now derives from the VOCAB frame (Σ cnt ≡ token
+        // count), so the query is two scans, not three.
+        def toks = tbl(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-          .localCheckpoint(eager = false)
         val cnt = toks.groupBy("th").agg(count(lit(1)).as("cnt"))
-        val total = toks.agg(count(lit(1)).as("total"))
+          .localCheckpoint(eager = false) // vocab-sized; feeds total + join
+        val total = cnt.agg(sum(col("cnt")).as("total"))
         val surp = cnt.crossJoin(broadcast(total))
           .select(col("th"),
             length(conv(expr("total div cnt"), 10, 2)).cast("long").as("surp"))
@@ -1367,16 +1373,25 @@ object TextOps {
       // bigram vocab on its hash — strings never shuffle.
       "q_bigram_surprisal",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val w = W.partitionBy("doc_id").orderBy(asc_nulls_first("pos"))
-        val bg = tbl(s, d, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), col("pos"), col("col").as("tok"))
-          .withColumn("nxt", lead(col("tok"), 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .select(col("doc_id"), xxhash64(col("tok")).as("h1"),
-            xxhash64(col("tok"), col("nxt")).as("h2"))
-          .localCheckpoint(eager = false) // three consumers, one assembly
+        // r19: bigrams assemble by ZIPPING the hashed-token array in a
+        // pure projection — no per-doc lead() window (which shuffled +
+        // sorted the whole 600 M-row token stream) and no localCheckpoint
+        // (the resident-copy cliff at sf100, see q_unigram_surprisal);
+        // with assembly this cheap, each of the three consumers re-runs
+        // the scan. h1 is the same per-token xxhash64; h2 hashes the
+        // token-hash PAIR instead of the string pair — a stand-in with
+        // identical grouping identity (the shingle hash-of-hashes
+        // precedent), invisible to the output.
+        val th = col("th")
+        def bg = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
+          .filter(size(th) >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(0), size(th) - 2),
+              i => struct(get(th, i).as("h1"),
+                xxhash64(get(th, i), get(th, i + 1)).as("h2")))).as("p"))
+          .select(col("doc_id"), col("p.h1").as("h1"), col("p.h2").as("h2"))
         val c1 = bg.groupBy("h1").agg(count(lit(1)).as("cnt1"))
         val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("cnt2"))
         val scored = c2.join(c1, "h1")
@@ -1438,22 +1453,22 @@ object TextOps {
       // broadcast-joins back.
       "q_importance_weights",
       (s, d) => {
-        val toks = tbl(s, d, "documents")
+        // r19: no doc×bucket checkpoint (a ~20 GB resident copy at sf100 —
+        // the resident-copy cliff, see q_unigram_surprisal). The stream is
+        // a def; the corpus AND target bucket counts fold into ONE
+        // conditional aggregation over it (count + count-if-en per bucket
+        // ≡ the old raw ⟕ tgt, since target buckets ⊂ raw buckets), so
+        // the whole query is two streaming scans and only the ≤4096-row
+        // bucket frame persists.
+        def stream = tbl(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("tok"))
           .select(col("doc_id"), col("lang"),
             substring(md5(col("tok")), 1, 3).as("b"))
-          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
-          .localCheckpoint(eager = false) // three consumers, one assembly
-        val raw = toks.groupBy("b").agg(sum(col("c")).as("rc"))
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(sum(col("c")).as("tc"))
-        // target buckets ⊂ raw buckets, so a left join from raw covers all
-        val sm = raw.join(tgt, Seq("b"), "left")
-          .select(col("b"), (coalesce(col("tc"), lit(0L)) + 1L).as("tcs"),
-            (col("rc") + 1L).as("rcs"))
-          // ≤4096 rows, two consumers (totals + scored): one bucket-count
-          // pass over the token stream instead of two
+        val sm = stream.groupBy("b")
+          .agg((count(when(col("lang") === "en", 1)) + 1L).as("tcs"),
+            (count(lit(1)) + 1L).as("rcs"))
+          // ≤4096 rows, two consumers (totals + scored)
           .localCheckpoint(eager = false)
         val totals = sm.agg(sum(col("tcs")).as("tt"), sum(col("rcs")).as("rt"))
         val scored = sm.crossJoin(broadcast(totals))
@@ -1462,10 +1477,10 @@ object TextOps {
           .select(col("b"),
             (length(conv(expr("a1 div a2"), 10, 2)).cast("long") -
               length(conv(expr("a2 div a1"), 10, 2)).cast("long")).as("wb"))
-        toks.join(broadcast(scored), Seq("b"))
+        stream.join(broadcast(scored), Seq("b"))
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_tokens"),
-            sum(col("c") * col("wb")).as("ws"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("wb")).as("ws"))
           .select(col("doc_id"), col("n_tokens"),
             col("ws").cast("long").as("w_sum"),
             (col("ws").cast("double") / col("n_tokens").cast("double"))
