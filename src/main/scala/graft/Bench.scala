@@ -105,6 +105,22 @@ object Bench {
     // Full per-query map on its OWN line (~2.4 KB for 93 queries — bigger
     // than the driver's 2,000-byte log-tail window, so it must not be last).
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // ALSO persist the per-query map as its own artifact: at 188 keys the
+    // stdout line is ~4.5 KB and the driver's tail capture keeps only its
+    // end, blinding round-over-round per-query diffs to the first ~111
+    // keys (r19 verdict "What's wrong" #3). One key per line so plain git
+    // diff shows movers; written to the working directory (the repo root
+    // under the driver's sbt invocation) so it lands in the round commit.
+    try {
+      val lines = results.sortBy(_._1).map { case (k, v, ok) =>
+        s"""  "$k": ${if (ok) r3(v) else "\"FAILED\""}"""
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_PERQUERY.json"),
+        lines.mkString(s"""{\n  "_sf": "$sfDir",\n""", ",\n", "\n}\n"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query artifact write failed: $e")
+    }
     // LAST line: compact total-only JSON, guaranteed to fit the tail window.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)

@@ -63,16 +63,30 @@ object Graft {
   /** Re-home `df` onto a session clone whose ObjectHashAggregate fallback
     * threshold is raised to [[BoundedAggFallbackThreshold]] — the scoped
     * form of the conf for SMALL-BOUNDED-buffer typed aggregates over
-    * high-cardinality groups (the kNN BottomKPairs fold). The clone shares
-    * the SparkContext and catalog; cloning costs ~ms against the
-    * minutes-scale queries that need it.
+    * high-cardinality groups (the kNN BottomKPairs fold).
+    *
+    * One clone is cached PER PARENT SESSION (weakly keyed — entries die
+    * with their parent): each `cloneSession()` registers session-state
+    * listeners on the shared context bus that are never torn down, so
+    * cloning per call would slowly accumulate sessions/listeners in a
+    * long-lived process that rebuilds plans repeatedly (r19 ADVICE).
+    * Conf drift is not a concern: the clone's only delta is the one
+    * threshold constant, and runtime conf changes a caller makes on the
+    * PARENT after the clone exists are deliberate non-propagation (the
+    * same isolation the scoping exists for).
     */
   def boundedAggFrame(df: DataFrame): DataFrame =
-    GraftBridge.rehome(
-      GraftBridge.sessionWithConf(df.sparkSession,
+    GraftBridge.rehome(boundedAggSession(df.sparkSession), df)
+
+  private val boundedAggClones =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def boundedAggSession(parent: SparkSession): SparkSession =
+    boundedAggClones.computeIfAbsent(parent, p =>
+      GraftBridge.sessionWithConf(p,
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        BoundedAggFallbackThreshold.toString),
-      df)
+        BoundedAggFallbackThreshold.toString))
 
   /** Register the fixture tables of `dir` as temp views so plain
     * `spark.sql` works over them (events gets the ns→µs timestamp

@@ -104,7 +104,11 @@ object Profile {
         dt
       }
       val mem = memStats.map { case (peak, sm, sd) =>
-        Thread.sleep(500) // listener bus is async; let task-end events drain
+        // Deterministic drain (r19 ADVICE): waitUntilEmpty blocks until
+        // every queued task-end event has been delivered — under a
+        // backlogged bus a fixed sleep silently missed the LAST tasks'
+        // peak/spill, understating exactly the number this dial measures.
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
         f"  peak_task_mem=${peak.get / 1048576.0}%.0fMB spill_mem=${sm.get / 1048576.0}%.0fMB spill_disk=${sd.get / 1048576.0}%.0fMB"
       }.getOrElse("")
       memStats.foreach { case (peak, sm, sd) => peak.set(0); sm.set(0); sd.set(0) }

@@ -45,8 +45,24 @@ object GraftBridge {
     val qe = df.queryExecution
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(df.sparkSession)
+    // Restore the EXACT prior thread state: when no session was active
+    // before the call, clear rather than leave the frame's (possibly
+    // conf-scoped clone) session ambiently active — later planning on
+    // this thread would otherwise silently run under the scoped conf.
     try execution.SQLExecution.withNewExecutionId(qe, None) {
       qe.toRdd.count()
-    } finally prev.foreach(SparkSession.setActiveSession)
+    } finally prev match {
+      case Some(s) => SparkSession.setActiveSession(s)
+      case None    => SparkSession.clearActiveSession()
+    }
   }
+
+  /** Deterministically drain the async listener bus — the replacement for
+    * sleep-and-hope when reading task metrics accumulated by a listener
+    * right after a job completes (the last tasks' events may still be in
+    * flight on the AsyncEventQueue when the action returns).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
