@@ -138,6 +138,41 @@ class DedupSpec extends SparkSpec {
     assert(h1.isDefined && h1 == h2, "same span, same hash, position-addressed")
   }
 
+  test("q_boilerplate_scrub excises a planted template and rebuilds exactly") {
+    // k=4 (the declared key's setting). Planted shapes:
+    //   docs 1+2 share the 4-token template B0..B3 at different offsets →
+    //     PARTIAL scrub, rebuilt text must drop exactly those positions;
+    //   doc 3 shares nothing → untouched;
+    //   docs 4+5 are ENTIRELY the template → scrub to empty;
+    //   docs 6+7 are identical 2-token docs (< k: whole-doc shingle, whose
+    //     covered range 0..3 runs past the end) → scrub to empty, proving
+    //     past-the-end cover positions are harmless.
+    val b = "B0 B1 B2 B3"
+    val d3 = (0 until 12).map(i => s"u$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"a1 a2 a3 $b t1 t2 t3", "en", "s", 10L),
+      (2L, s"$b z1 z2 z3 z4", "en", "s", 8L),
+      (3L, d3, "en", "s", 12L),
+      (4L, b, "en", "s", 4L),
+      (5L, b, "en", "s", 4L),
+      (6L, "D0 D1", "en", "s", 2L),
+      (7L, "D0 D1", "en", "s", 2L))
+    val dir = Files.createTempDirectory("scrub").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("q_boilerplate_scrub")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 4L, "a1 a2 a3 t1 t2 t3"),
+      (2L, 8L, 4L, "z1 z2 z3 z4"),
+      (3L, 12L, 0L, d3),
+      (4L, 4L, 4L, ""),
+      (5L, 4L, 4L, ""),
+      (6L, 2L, 2L, ""),
+      (7L, 2L, 2L, "")), s"scrub mismatch: $out")
+  }
+
   test("q_simhash_dedup groups identical texts") {
     val rows = Seq(
       (1L, "alpha beta gamma delta", "en", "s", 10L),

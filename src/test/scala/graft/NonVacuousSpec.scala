@@ -99,6 +99,23 @@ class NonVacuousSpec extends SparkSpec {
         s"planted identical pair $p missing (got $pairs)")
   }
 
+  test("q_boilerplate_scrub: fixture scrub is non-vacuous AND non-total at verify scales") {
+    // rows>0 is trivially true for this key (one row per doc), so the
+    // vacuity axis is the SCRUB itself: assert some doc loses tokens
+    // (shared 4-gram spans exist at fixture vocab density) and some doc
+    // KEEPS tokens (the scrub is a partial rewrite, not a text wipe) —
+    // an identity rewrite and an everything-matches rewrite both hash-match
+    // a matching oracle, and both would make the key meaningless.
+    assert(verifyDirs.nonEmpty)
+    for (d <- verifyDirs) {
+      val out = SparkEntry.queries("q_boilerplate_scrub")(spark, d)
+        .select("n_removed", "n_tokens").as[(Long, Long)].collect()
+      assert(out.exists(_._1 > 0), s"scrub removed nothing anywhere at $d")
+      assert(out.exists { case (rm, n) => rm == 0 || rm < n },
+        s"scrub wiped every document at $d")
+    }
+  }
+
   test("fixture canary: all three keys return rows > 0 at every driver verify scale") {
     assert(verifyDirs.nonEmpty)
     for (d <- verifyDirs; key <- Seq("q_anti_join", "q_except", "q_edit_distance",
