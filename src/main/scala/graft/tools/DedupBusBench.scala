@@ -27,6 +27,7 @@ object DedupBusBench {
     val idx = new graft.bus.SeenHashIndex(spark, dir, compactEvery = k)
     val t0 = System.nanoTime()
     var survived = 0L
+    var windowT0 = t0
     (0 until epochs).foreach { e =>
       // 75% fresh ids + 25% replay of the previous epoch's head — every
       // epoch exercises both the first-copy and the already-seen path
@@ -37,6 +38,17 @@ object DedupBusBench {
         .select(format_string("id-%012d", col("id")).as("id"),
           format_string("payload-%012d", col("id")).as("data"))
       survived += idx.dedupEpoch(batch, e).queryExecution.toRdd.count()
+      // windowed throughput every 30 epochs: the decay-vs-flat CURVE is
+      // the measurement (r19's weak finding was per-epoch cost ∝ index
+      // size — visible only in the trend, not the final average)
+      if ((e + 1) % 30 == 0) {
+        val now = System.nanoTime()
+        val wRate = (30 * rows / ((now - windowT0) / 1e9)).round
+        val cRate = ((e + 1) * rows / ((now - t0) / 1e9)).round
+        System.err.println(s"[dedupbus] epoch=${e + 1} window_msgs_per_sec=" +
+          s"$wRate cumulative_msgs_per_sec=$cRate run_dirs=${idx.epochs().size}")
+        windowT0 = now
+      }
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
     val indexBytes = {

@@ -797,6 +797,110 @@ class BusSpec extends SparkSpec {
       s"leftover torn runs must be folded back in: ${idx2.epochs().sorted}")
   }
 
+  test("bucketed index: merged-run layout, exact dedup through buckets, bloom self-heal") {
+    // r20's batch-proportional lookup: merged runs above ~2·bucketRows lay
+    // out as b=pmod(h,N) partitions with _nbuckets and _bloom sidecars;
+    // dedupEpoch must answer EXACTLY through the bucketed+bloomed path,
+    // and a deleted _bloom must degrade safely (full candidacy) and
+    // self-heal (sidecar rebuilt from the run's parquet on first touch).
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("seenidx_bucketed").toString
+    // bucketRows=64 forces bucketing at test scale
+    val idx = new SeenHashIndex(spark, idxDir, compactEvery = 2,
+      bucketRows = 64L)
+    val seen = scala.collection.mutable.Set[String]()
+    for (e <- 0 until 4) {
+      val ps = (0 until 300).map(i => s"bkt-$e-$i")
+      idx.dedupEpoch(ps.zipWithIndex
+        .map { case (p, i) => (f"$e%03d-$i%05d", p) }.toDF("id", "data"), e)
+      seen ++= ps
+    }
+    idx.compact(4)
+    // layout: at least one merged (negative-label) run is bucketed
+    val mergedDirs = idx.epochs().filter(_ < 0)
+    assert(mergedDirs.nonEmpty, s"expected a merged run: ${idx.epochs()}")
+    val bucketed = mergedDirs.filter { l =>
+      Files.exists(java.nio.file.Paths.get(s"$idxDir/epoch=$l", "_nbuckets"))
+    }
+    assert(bucketed.nonEmpty,
+      s"a 1200-hash merge at bucketRows=64 must bucket: ${idx.epochs()}")
+    for (l <- bucketed) {
+      val p = java.nio.file.Paths.get(s"$idxDir/epoch=$l")
+      val bs = Files.list(p)
+      val bDirs = try bs.iterator().asScala
+        .count(_.getFileName.toString.startsWith("b=")) finally bs.close()
+      val nb = Files.readString(p.resolve("_nbuckets")).trim.toInt
+      assert(nb > 1 && bDirs > 1 && bDirs <= nb,
+        s"run $l: _nbuckets=$nb but $bDirs b= partitions")
+      assert(Files.exists(p.resolve("_bloom")), s"run $l missing _bloom")
+    }
+    // exactness through the bucketed path: half repeats, half fresh
+    val mixed = (0 until 150).map(i => s"bkt-1-$i") ++
+      (0 until 150).map(i => s"bkt-new-$i")
+    val out = idx.dedupEpoch(mixed.zipWithIndex
+      .map { case (p, i) => (f"004-$i%05d", p) }.toDF("id", "data"), 4)
+      .select("data").as[String].collect().toSet
+    assert(out == (0 until 150).map(i => s"bkt-new-$i").toSet,
+      s"bucketed lookup must drop exactly the seen half: ${out.take(5)}")
+    // bloom self-heal: delete a merged run's sidecar, reopen the index
+    // (fresh caches), dedup again — still exact, sidecar rebuilt
+    val healTarget = java.nio.file.Paths
+      .get(s"$idxDir/epoch=${bucketed.head}", "_bloom")
+    Files.delete(healTarget)
+    val idx2 = new SeenHashIndex(spark, idxDir, compactEvery = 2,
+      bucketRows = 64L)
+    val mixed2 = (0 until 100).map(i => s"bkt-2-$i") ++
+      (0 until 100).map(i => s"bkt-new2-$i")
+    val out2 = idx2.dedupEpoch(mixed2.zipWithIndex
+      .map { case (p, i) => (f"005-$i%05d", p) }.toDF("id", "data"), 5)
+      .select("data").as[String].collect().toSet
+    assert(out2 == (0 until 100).map(i => s"bkt-new2-$i").toSet,
+      "missing bloom must degrade to full candidacy, not wrong answers")
+    assert(Files.exists(healTarget), "bloom sidecar must self-heal")
+  }
+
+  test("bucketed index: per-epoch index reads are batch-proportional, not index-proportional") {
+    // THE r19 weak-component fix, asserted as a number: dedup a small
+    // all-fresh epoch against a large bucketed index and bound the
+    // parquet records actually read. Bloom pruning keeps true-negative
+    // hashes away from the index entirely (fpp=1e-4 ⇒ ~0 expected false
+    // positives at this batch size), so the lookup should read ~no index
+    // rows; the only parquet reads are append-side bookkeeping (the new
+    // run's bloom build). The pre-r20 shape read ALL index rows every
+    // epoch — this assertion fails it by >10×.
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("seenidx_prop").toString
+    val idx = new SeenHashIndex(spark, idxDir, compactEvery = 2,
+      bucketRows = 1000L)
+    // 60k-hash index via direct appends + compaction into a bucketed run
+    for (e <- 0 until 4)
+      idx.append(spark.range(e * 15000L, (e + 1) * 15000L)
+        .select(col("id").as("h")), e)
+    idx.compact(4)
+    assert(idx.epochs().exists(l => Files.exists(
+      java.nio.file.Paths.get(s"$idxDir/epoch=$l", "_nbuckets"))),
+      "precondition: the merged run must be bucketed")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val batch = (0 until 1000)
+        .map(i => (f"010-$i%05d", s"fresh-$i")).toDF("id", "data")
+      val out = idx.dedupEpoch(batch, 10)
+      assert(out.count() == 1000L, "all-fresh epoch must fully survive")
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val read = recordsRead.get()
+      assert(read < 6000L,
+        s"per-epoch parquet reads must be batch-bounded: read $read " +
+          "records against a 60k-hash index (the pre-bucketed shape reads 60k+)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("tiered compaction soak: 600 epochs hold the log asymptote") {
     // The 24-epoch test pins correctness; this pins the ASYMPTOTE the
     // design argues for — over a 600-epoch lifetime (size-scaled: tiny
