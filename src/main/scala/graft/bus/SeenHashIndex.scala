@@ -88,15 +88,21 @@ import org.apache.spark.util.sketch.BloomFilter
   *   the CURRENT epoch can replay, and it is never an input of
   *   compaction; merged runs live at fresh labels, never overwriting
   *   anything).
-  * @param bloomFpp per-run Bloom false-positive rate. 1e-4 ⇒ ~19 bits per
-  *   hash (~2.4 B — comparable to the parquet bytes of the hash itself)
-  *   and ~|batch|/10⁴ spurious verification reads per run per epoch.
+  * @param bloomFpp per-run Bloom false-positive rate. The steady-state
+  *   verification read is ~fpp·|batch|·bucketRows rows per big tier per
+  *   epoch (each false positive drags in one bucket file), so fpp is the
+  *   read-amplification dial, not just a memory knob: 1e-5 ⇒ ~24 bits
+  *   (~3 B) per hash and ~2 spurious bucket reads per tier per 200 k-row
+  *   epoch.
   * @param bucketRows target hashes per bucket file in merged runs; also
-  *   the threshold below which a merged run stays unbucketed.
+  *   the threshold below which a merged run stays unbucketed. Smaller
+  *   buckets shrink the per-false-positive read but multiply file count
+  *   (listing cost on an object store): 2^17 ⇒ ~1 MB files, ~700 per
+  *   90 M-hash tier.
   */
 final class SeenHashIndex(spark: SparkSession, dir: String,
-    compactEvery: Int = 0, bloomFpp: Double = 1e-4,
-    bucketRows: Long = 1L << 18) {
+    compactEvery: Int = 0, bloomFpp: Double = 1e-5,
+    bucketRows: Long = 1L << 17) {
 
   import spark.implicits._
 
@@ -139,6 +145,26 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
       .write.mode("overwrite").parquet(out)
     writeBloom(out)
     // replay overwrite ⇒ any cached bloom/broadcast for this label is stale
+    evictCached(epochId)
+  }
+
+  /** [[dedupEpoch]]'s append fast path: `hashes` is KNOWN distinct (the
+    * in-epoch first-copy window) and already materialized (checkpointed),
+    * so the generic path's re-distinct shuffle and read-back-for-bloom
+    * scan are pure overhead — at a 1 s trigger that overhead is paid
+    * every epoch forever. The bloom builds driver-side from one collect
+    * of the survivor hashes: bounded by the micro-batch's distinct-hash
+    * count (the same bound as the `seen` broadcast — A3's trigger knob),
+    * never by index size.
+    */
+  private def appendDistinct(hashes: DataFrame, epochId: Long): Unit = {
+    val out = s"$dir/epoch=$epochId"
+    hashes.write.mode("overwrite").parquet(out)
+    val hs = hashes.select("h").as[Long].collect()
+    val bf = BloomFilter.create(math.max(1L, hs.length.toLong), bloomFpp)
+    hs.foreach(bf.putLong)
+    val os = Files.newOutputStream(Paths.get(out, "_bloom"))
+    try bf.writeTo(os) finally os.close()
     evictCached(epochId)
   }
 
@@ -411,7 +437,7 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
       // returned frame — recomputing it after the append would anti-join
       // the epoch against itself
       .localCheckpoint(eager = true)
-    append(survivors.select(col("__h").as("h")), epochId)
+    appendDistinct(survivors.select(col("__h").as("h")), epochId)
     survivors.drop("__h")
   }
 }

@@ -476,4 +476,54 @@ class PlanAuditSpec extends SparkSpec
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-50 merge table must be per-partition top-N + driver merge:\n$plan")
   }
+
+  test("kNN fold: the scoped fallback-threshold clone engages under a 128-default parent") {
+    // ConfCheck promoted to CI (r19 verdict item 6): the BottomKPairs fold
+    // depends on (a) Graft.boundedAggFrame re-homing the frame onto a
+    // clone with the raised ObjectHashAggregate threshold while the parent
+    // keeps Spark's 128 safety valve, and (b) SQLExecution propagating the
+    // frame's OWN session conf at action time — the r19 harness-honesty
+    // bug was exactly (b) silently not happening under toRdd-style
+    // drivers. A Spark upgrade that breaks either would re-demote the
+    // fold to sort-based silently; this pins it with the executed
+    // fallback metric, at a scale where the assertion bites (sf0.1:
+    // 2000 src groups, so partial-agg tasks each hold ≫128 groups ≫ the 128 default, so an
+    // unscoped run WOULD fall back).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val df = graft.ops.Similarity.knnGraphQuantized(
+      graft.ops.tbl(spark, "/root/testdata/sf0.1", "embeddings"),
+      k = 3, nBits = 4, dedupFirst = Some(false))
+    assert(spark.conf.get(key) == "128", "parent must keep the default")
+    assert(df.sparkSession.conf.get(key) ==
+      Graft.BoundedAggFallbackThreshold.toString,
+      "the returned frame must carry the scoped clone")
+    val rows = org.apache.spark.sql.GraftBridge.runExactPlan(df)
+    assert(rows > 0L)
+    def aggs(p: SparkPlan): Seq[ObjectHashAggregateExec] = {
+      val here = p match {
+        case o: ObjectHashAggregateExec => Seq(o); case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(aggs)
+    }
+    val found = aggs(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "the fold must plan as ObjectHashAggregate " +
+      s"(sort-based demotion?):\n${df.queryExecution.executedPlan}")
+    // non-vacuity: enough groups that the 128 default would demote
+    val groups = found.map(_.metrics.get("numOutputRows").map(_.value)
+      .getOrElse(0L)).max
+    assert(groups > 512L, s"assertion needs >128 groups/task, saw $groups")
+    found.foreach { o =>
+      val fb = o.metrics.get("numTasksFallBacked").map(_.value).getOrElse(-1L)
+      assert(fb == 0L,
+        s"scoped threshold did not engage: $fb tasks fell back to sort")
+    }
+  }
 }
