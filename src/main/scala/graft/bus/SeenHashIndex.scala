@@ -388,6 +388,17 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
     * run), independent of total index size.
     */
   def dedupEpoch(batch: DataFrame, epochId: Long): DataFrame = {
+    // free the PREVIOUS epoch's checkpoint blocks first: foreachBatch's
+    // sequential contract means they are fully consumed, but the block
+    // manager only drops them on a GC-driven ContextCleaner pass — on a
+    // perpetual bus that is an unbounded block-manager accretion (~MBs per
+    // epoch, measured as eviction-pressure throughput decay in the r20
+    // soak). Only OUR tracked ids are touched — a blanket unpersist would
+    // evict concurrent streams' cached frames in a shared session.
+    prevEpochBlocks.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    prevEpochBlocks = Nil
     // self-compaction on the partition-count threshold, BEFORE the lookup:
     // the lookup then lists a bounded directory set. Compacting here (vs a
     // side thread) keeps the single-writer invariant for free.
@@ -415,7 +426,7 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
         // volume is ≤ |batch hashes| · |runs| in the adversarial
         // everything-collides case and ~(dups + fpp·|batch|·runs) in
         // practice — batch-bounded either way, never index-bounded
-        .localCheckpoint(eager = true)
+        .transform(checkpointTracked)
       val touched = cand.select("run", "b").distinct()
         .as[(Long, Int)].collect().groupBy(_._1)
       if (touched.isEmpty) emptyHashes
@@ -436,8 +447,24 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
       // materialize once: the survivor set feeds the index append AND the
       // returned frame — recomputing it after the append would anti-join
       // the epoch against itself
-      .localCheckpoint(eager = true)
+      .transform(checkpointTracked)
     appendDistinct(survivors.select(col("__h").as("h")), epochId)
     survivors.drop("__h")
+  }
+
+  /** localCheckpoint with its materialized RDD ids recorded, so the NEXT
+    * epoch can free them (see [[dedupEpoch]]). The id diff brackets only
+    * the checkpoint call; a concurrent stream persisting inside that
+    * narrow window would merely get its block dropped one epoch early —
+    * recomputable by definition, never wrong.
+    */
+  private var prevEpochBlocks: Seq[Int] = Nil
+
+  private def checkpointTracked(df: DataFrame): DataFrame = {
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = true)
+    prevEpochBlocks ++=
+      (spark.sparkContext.getPersistentRDDs.keySet -- pre).toSeq
+    out
   }
 }

@@ -42,6 +42,12 @@ object DedupBusBench {
       // the measurement (r19's weak finding was per-epoch cost ∝ index
       // size — visible only in the trend, not the final average)
       if ((e + 1) % 30 == 0) {
+        // nudge GC so the ContextCleaner reclaims dead shuffle files
+        // between windows (the Profile.scala lesson: ShuffleDependency
+        // objects survive until a driver GC, so tens of GB of dead
+        // shuffle data otherwise accumulate and later windows measure a
+        // fuller disk, not the stage)
+        System.gc()
         val now = System.nanoTime()
         val wRate = (30 * rows / ((now - windowT0) / 1e9)).round
         val cRate = ((e + 1) * rows / ((now - t0) / 1e9)).round
