@@ -124,9 +124,21 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
   /** One run's hashes; `buckets = Some(bs)` prunes a bucketed run to the
     * named `b=` partitions (no-op selector on an unbucketed run — its
     * only "bucket" is 0 and every candidate names it).
+    *
+    * The base frame is CACHED per label: runs are immutable between
+    * creation and deletion, but a fresh `spark.read.parquet` re-lists the
+    * run's whole directory tree (InMemoryFileIndex build — 512 `b=`
+    * subdirs on a 67 M-hash tier) on EVERY epoch, a per-epoch cost that
+    * grows with index size even when only two bucket files are read —
+    * exactly the ∝-index creep this class exists to kill. One listing per
+    * run lifetime; [[evictCached]] drops the entry when the run is
+    * overwritten (replay) or deleted (compaction).
     */
+  private val runFrameCache = mutable.Map[Long, DataFrame]()
+
   private def readRun(label: Long, buckets: Option[Seq[Int]]): DataFrame = {
-    val base = spark.read.parquet(s"$dir/epoch=$label")
+    val base = runFrameCache.getOrElseUpdate(label,
+      spark.read.parquet(s"$dir/epoch=$label"))
     val pruned = (buckets, nBucketsOf(label)) match {
       case (Some(bs), nb) if nb > 1 => base.filter(col("b").isin(bs: _*))
       case _ => base
@@ -371,8 +383,10 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
       spark.sparkContext.broadcast(loaded)
     })
 
-  private def evictCached(label: Long): Unit =
+  private def evictCached(label: Long): Unit = {
     bloomCache.remove(label).foreach(_.destroy())
+    runFrameCache.remove(label)
+  }
 
   /** The bus epoch stage over (id, data, ts) message frames: drop messages
     * whose payload hash is already in the index, keep the first copy per

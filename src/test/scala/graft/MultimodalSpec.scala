@@ -547,6 +547,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!hs(4L).decoded_ok, "non-demuxable payload takes the fallback")
   }
 
+  test("ahash/vhash near-dup wrappers: planted pair found, fallback rows excluded") {
+    // the typed audio/video faces of the Hamming tier (r20 unwired-helper
+    // sweep): their one piece of logic beyond delegation is the
+    // decoded_ok filter — a FALLBACK hash (synthetic, content-hash
+    // derived) colliding near a real fingerprint must never pair
+    import spark.implicits._
+    val base = 0x0fedcba987654321L
+    val aud = Seq(
+      graft.multimodal.AudioHash(1L, base, decoded_ok = true),
+      graft.multimodal.AudioHash(2L, base ^ 3L, decoded_ok = true), // d=2
+      graft.multimodal.AudioHash(3L, base ^ 1L, decoded_ok = false), // d=1 but fallback
+      graft.multimodal.AudioHash(4L, ~base, decoded_ok = true)).toDS()
+    val aPairs = MediaOps.ahashNearDupPairs(aud)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(aPairs == Set((1L, 2L)),
+      s"audio tier must pair (1,2) only — fallback row 3 excluded: $aPairs")
+    val vid = Seq(
+      graft.multimodal.VideoHash(1L, base, decoded_ok = true),
+      graft.multimodal.VideoHash(2L, base ^ (1L << 40), decoded_ok = true),
+      graft.multimodal.VideoHash(3L, base, decoded_ok = false),
+      graft.multimodal.VideoHash(4L, ~base, decoded_ok = true)).toDS()
+    val vPairs = MediaOps.vhashNearDupPairs(vid)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(vPairs == Set((1L, 2L)),
+      s"video tier must pair (1,2) only — fallback row 3 excluded: $vPairs")
+  }
+
   test("hammingNearDupPairs (generic core): exact <=d set on synthetic hashes, all band positions") {
     import spark.implicits._
     // one flip in each of the 4 band positions (pinning every band's

@@ -39,6 +39,17 @@ class StatsSinkSpec extends SparkSpec {
     }
   }
 
+  test("InMemoryStatsSink gaugeValues reads back the rate-monitor gauges") {
+    // gaugeValues is the read API of the gauge() channel the bus rate
+    // monitor feeds (FrizzleStream publishes "rate" per progress event) —
+    // the counterTotals twin; last-write-wins per gauge name
+    val mem = new InMemoryStatsSink
+    mem.gauge("rate", 12.5)
+    mem.gauge("lag", 3.0)
+    mem.gauge("rate", 99.25)
+    assert(mem.gaugeValues == Map("rate" -> 99.25, "lag" -> 3.0))
+  }
+
   test("LoggingStatsSink emits statsd line protocol") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val s = new LoggingStatsSink("frizzle", lines += _)
