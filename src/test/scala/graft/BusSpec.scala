@@ -857,6 +857,18 @@ class BusSpec extends SparkSpec {
     assert(out2 == (0 until 100).map(i => s"bkt-new2-$i").toSet,
       "missing bloom must degrade to full candidacy, not wrong answers")
     assert(Files.exists(healTarget), "bloom sidecar must self-heal")
+    // replay idempotence THROUGH the bucketed+bloomed path (the other
+    // replay tests run before any run is bucketed): re-running epoch 5
+    // must reproduce the same survivors and converge the index state —
+    // the overwritten run's stale bloom/frame caches must be evicted,
+    // and the lookup must still exclude epoch 5's own previous attempt
+    val before = idx2.seenBefore(6L).distinct().count()
+    val replay = idx2.dedupEpoch(mixed2.zipWithIndex
+      .map { case (p, i) => (f"005-$i%05d", p) }.toDF("id", "data"), 5)
+      .select("data").as[String].collect().toSet
+    assert(replay == out2, "bucketed-path replay must keep the survivor set")
+    assert(idx2.seenBefore(6L).distinct().count() == before,
+      "bucketed-path replay must converge, not grow the index")
   }
 
   test("bucketed index: per-epoch index reads are batch-proportional, not index-proportional") {
