@@ -42,6 +42,15 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let AQE re-optimize CACHED plans while keeping their output
+      // partitioning visible (r21): the iterative operators (connected
+      // components, PageRank) persist their edge frames pre-partitioned on
+      // the per-round join key so rounds stop re-shuffling the edge set;
+      // without this flag the cached subplan skips AQE partition
+      // coalescing and pins shuffle-partition-count tasks onto every
+      // downstream stage at small scale. Physical-only: results identical.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", ui)
       .getOrCreate()
     graft.expr.GraftExtensions.register(spark)
@@ -105,6 +114,8 @@ object Graft {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     graft.expr.GraftExtensions.register(spark)
     spark
   }

@@ -81,7 +81,10 @@ object Bpe {
     * ~the batch factor; BpeSpec pins the two loops merge-for-merge.
     */
   def trainMerges(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var vocab = wordVocab(docs).localCheckpoint()
+    // lazy checkpoints throughout the loop (r21): the round's collect is
+    // the action that materializes them — an eager checkpoint spent one
+    // extra driver-scheduled job per round for the same reuse.
+    var vocab = wordVocab(docs).localCheckpoint(eager = false)
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var i = 0
     var exhausted = false
@@ -93,7 +96,7 @@ object Bpe {
         case Some(r) =>
           val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
           rules += ((i, a, b, cnt))
-          vocab = applyMerge(vocab, a, b).localCheckpoint()
+          vocab = applyMerge(vocab, a, b).localCheckpoint(eager = false)
           i += 1
         case None => exhausted = true
       }
@@ -142,7 +145,8 @@ object Bpe {
       batchCap: Int = 32): (Seq[(Int, String, String, Long)], Int) = {
     require(batchCap >= 1)
     var rounds = 0
-    var vocab = wordVocab(docs).localCheckpoint()
+    // lazy per-round checkpoints: materialized by the round's collect
+    var vocab = wordVocab(docs).localCheckpoint(eager = false)
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     while (rules.size < nMerges && !exhausted) {
@@ -184,7 +188,7 @@ object Bpe {
         }
         vocab = accepted.foldLeft(vocab) { case (v, (a, b, _)) =>
           applyMerge(v, a, b)
-        }.localCheckpoint()
+        }.localCheckpoint(eager = false)
       }
     }
     (rules.toSeq, rounds)

@@ -263,15 +263,27 @@ object TextOps {
       .agg(count(lit(1)).as("inter_cnt"))
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-    val dirA = inter.filter(col("inter_cnt") * 10 > col("a_sz") * minCont10)
-      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
-        col("inter_cnt"), col("a_sz").as("contained_sz"),
-        col("b_sz").as("container_sz"))
-    val dirB = inter.filter(col("inter_cnt") * 10 > col("b_sz") * minCont10)
-      .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
-        col("inter_cnt"), col("b_sz").as("contained_sz"),
-        col("a_sz").as("container_sz"))
-    dirA.unionByName(dirB)
+    // Both directions from ONE pass over `inter` (r21): the old
+    // dirA.union(dirB) referenced the inter subtree twice, and with no
+    // exchange boundary at its top the WHOLE candidate+rescore pipeline
+    // (prefix join, distinct, two attach joins, intersection agg, two size
+    // joins) executed once per union branch — measured as two full copies
+    // in the physical plan. A conditional 2-slot array + explode emits the
+    // a→b and b→a rows in the same projection; rows are identical to the
+    // union's, order is irrelevant (callers total-order).
+    inter
+      .select(explode(array(
+        when(col("inter_cnt") * 10 > col("a_sz") * minCont10,
+          struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+            col("inter_cnt"), col("a_sz").as("contained_sz"),
+            col("b_sz").as("container_sz"))),
+        when(col("inter_cnt") * 10 > col("b_sz") * minCont10,
+          struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+            col("inter_cnt"), col("b_sz").as("contained_sz"),
+            col("a_sz").as("container_sz"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.contained_id"), col("r.container_id"), col("r.inter_cnt"),
+        col("r.contained_sz"), col("r.container_sz"))
   }
 
   val all: Seq[Q] = Seq(

@@ -32,8 +32,29 @@ package object ops {
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String] = None)
 
+  /** Parquet schema cache for [[tbl]] (r21). Every bare
+    * `spark.read.parquet(path)` pays path resolution + file listing +
+    * FOOTER-READ SCHEMA INFERENCE — measured ~100-150 ms per call on the
+    * bench box, and the 189-query inventory makes ~300 such calls against
+    * ten immutable fixture paths. A catalog table would carry its schema in
+    * the metastore; this cache is the bare-path equivalent: infer once per
+    * (path, nanos-flag) per JVM, then pass the schema explicitly (measured
+    * ~22 ms/call). Pure metadata — every query still lists and reads the
+    * parquet data itself. Keyed by the nanosAsLong flag too because that
+    * flag changes how a timestamp[ns] column is inferred (LongType vs
+    * error), and sessions with different settings must not share entries.
+    */
+  private val tblSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val nanosFlag =
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = tblSchemaCache.computeIfAbsent((path, nanosFlag),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") df.withColumn("ts", eventsTsToTimestamp(df))
     else df
   }

@@ -35,6 +35,7 @@ object Profile {
       .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // A/B dial for the ObjectHashAggregate fallback threshold (see
       // Graft.scala — the session default is Spark's 128 safety valve;
       // the kNN fold carries its own scoped raise). SPARK_GRAFT_FALLBACK
