@@ -35,7 +35,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * Three structural changes make the lookup batch-proportional:
   *
   *   1. '''Bloom sidecars, probe-side pruning.''' Every run carries a
-  *      `_bloom` sidecar (Spark's 64-bit-hash sketch, fpp 1e-4, built
+  *      `_bloom` sidecar (Spark's 64-bit-hash sketch, fpp 1e-5 — the
+  *      `bloomFpp` default below, ~24 bits/hash — built
   *      from the run's own parquet). An epoch's distinct hashes probe the
   *      (broadcast, executor-cached) blooms in ONE narrow mapPartitions
   *      pass; only (hash, run) pairs the bloom cannot rule out — true
@@ -467,18 +468,18 @@ final class SeenHashIndex(spark: SparkSession, dir: String,
   }
 
   /** localCheckpoint with its materialized RDD ids recorded, so the NEXT
-    * epoch can free them (see [[dedupEpoch]]). The id diff brackets only
-    * the checkpoint call; a concurrent stream persisting inside that
-    * narrow window would merely get its block dropped one epoch early —
-    * recomputable by definition, never wrong.
+    * epoch can free them (see [[dedupEpoch]]). The ids are read from the
+    * returned frame's OWN plan (its LogicalRDD nodes — r21, closing the
+    * r20 ADVICE race): the previous getPersistentRDDs-set diff could
+    * capture a CONCURRENT stream's RDD persisted inside the bracket, and
+    * unpersisting a stranger's localCheckpointed RDD (truncated lineage)
+    * crashes that query's later access instead of recomputing.
     */
   private var prevEpochBlocks: Seq[Int] = Nil
 
   private def checkpointTracked(df: DataFrame): DataFrame = {
-    val pre = spark.sparkContext.getPersistentRDDs.keySet
     val out = df.localCheckpoint(eager = true)
-    prevEpochBlocks ++=
-      (spark.sparkContext.getPersistentRDDs.keySet -- pre).toSeq
+    prevEpochBlocks ++= org.apache.spark.sql.GraftBridge.checkpointedRddIds(out)
     out
   }
 }

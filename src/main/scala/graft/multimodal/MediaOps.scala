@@ -491,8 +491,11 @@ object MediaOps {
     }
     val cache = Paths.get(sys.props("java.io.tmpdir"),
       // v5: 8 MB row groups (bounded read batches); v6: planted image
-      // near-dup cluster (de-vacuates the Hamming tier)
-      "graft-media-fixture-v6",
+      // near-dup cluster (de-vacuates the Hamming tier); v7: 1 MB row
+      // groups — the split-granularity floor for the scan-parallel read
+      // below (a split can only land on a row-group boundary, so group
+      // size bounds BOTH the read batch and the decode parallelism)
+      "graft-media-fixture-v7",
       s"${Paths.get(dir).getFileName}-$fingerprint")
     if (!Files.exists(cache)) synchronized {
       if (!Files.exists(cache)) {
@@ -559,7 +562,7 @@ object MediaOps {
           // THE 100 TB rule this encodes: media lakes size row groups
           // for the ROW WIDTH, not the default tuned for scalar rows.
           .write.mode("overwrite")
-          .option("parquet.block.size", (8L * 1024 * 1024).toString)
+          .option("parquet.block.size", (1L * 1024 * 1024).toString)
           .parquet(tmp.toString)
         try Files.move(tmp, cache, StandardCopyOption.ATOMIC_MOVE)
         catch { // lost a cross-JVM race: the winner's cache is equivalent
@@ -572,6 +575,31 @@ object MediaOps {
         }
       }
     }
-    spark.read.parquet(cache.toString).as[MediaItem]
+    // Read under a session clone whose ONLY conf delta is a media-sized
+    // input split (r21, guide §6/§8): the fixture is a handful of parquet
+    // files, so under the 128 MB default the whole corpus is ONE scan
+    // task and every decode caller had to REPARTITION the binary payloads
+    // to get parallelism — a full corpus-bytes shuffle per query. With
+    // 2 MB splits over 1 MB row groups the scan itself fans out (split
+    // count grows with fixture bytes — scale-adaptive where the old
+    // repartition count was fixed), and the payload bytes move ZERO
+    // times: decode runs where the scan reads. The conf travels with the
+    // returned frame (same scoping mechanism as Graft.boundedAggFrame);
+    // downstream composition planning under 2 MB splits merely reads any
+    // other table it touches with finer splits — more tasks, same rows.
+    val scanSession = mediaScanSessions.computeIfAbsent(spark, p =>
+      org.apache.spark.sql.GraftBridge.sessionWithConf(p,
+        "spark.sql.files.maxPartitionBytes", (2L * 1024 * 1024).toString))
+    // encoder from the caller's implicits import above — encoders are
+    // session-independent; a second implicits import would be ambiguous
+    scanSession.read.parquet(cache.toString).as[MediaItem]
   }
+
+  /** One scan-conf clone per parent session (weakly keyed — same bounded
+    * pattern as Graft.boundedAggClones): cloning per call would leak
+    * session-state listeners on the shared bus.
+    */
+  private val mediaScanSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 }

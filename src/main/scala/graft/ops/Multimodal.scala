@@ -38,13 +38,16 @@ object Multimodal {
     Q(
       "q_media_decode",
       (s, d) => {
-        // fan the decode out to the full core count: the fixture parquet is
-        // one ~40 MB file = ONE scan partition, which would serialize the
-        // real per-image codec work (measured 2.4 s single-threaded vs
-        // ~0.4 s fanned out at sf0.1) — the exact skew the parallelism
-        // knob exists for at 100 TB.
+        // Decode parallelism comes from the SCAN since r21: the media
+        // fixture reads under a 2 MB-split session clone (see
+        // MediaOps.mediaFromDocuments), so the codec work fans out where
+        // the bytes are read and the old repartition — a full shuffle of
+        // the binary payloads per query, ~20 MB at sf0.1 and corpus-bytes
+        // at scale — is gone. parallelism = 0 (the no-repartition default)
+        // everywhere in this family; the knob remains for callers with
+        // genuinely unsplittable sources.
         MediaOps.decodeImages(MediaOps.mediaFromDocuments(s, d),
-            parallelism = s.sessionState.conf.numShufflePartitions)
+            parallelism = 0)
           .toDF()
           .orderBy(asc_nulls_first("media_id"))
       },
@@ -88,7 +91,7 @@ object Multimodal {
         // the checkpointed set is (id, 64-float vec, norm) — tiny vs the
         // media bytes it came from.
         val feats = MediaOps.extractFeatures(MediaOps.mediaFromDocuments(s, d),
-            parallelism = s.sessionState.conf.numShufflePartitions)
+            parallelism = 0)
           .toDF()
           .select(col("media_id"), col("features"), norm(col("features")).as("nrm"))
           .localCheckpoint(eager = false)
@@ -127,7 +130,7 @@ object Multimodal {
       (s, d) => {
         val idx = persistHashFrame(
           MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions)
+              parallelism = 0)
             .toDF()
             .filter(col("decoded_ok"))
             .select("media_id", "phash"),
@@ -160,7 +163,7 @@ object Multimodal {
       (s, d) => {
         val idx = persistHashFrame(
           MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions)
+              parallelism = 0)
             .toDF()
             .filter(col("decoded_ok"))
             .select("media_id", "phash"),
@@ -193,7 +196,7 @@ object Multimodal {
       (s, d) => {
         val idx = persistHashFrame(
           MediaOps.audioFingerprint(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions)
+              parallelism = 0)
             .toDF()
             .filter(col("decoded_ok"))
             .select("media_id", "ahash"),
@@ -220,7 +223,7 @@ object Multimodal {
       (s, d) => {
         val idx = persistHashFrame(
           MediaOps.videoFingerprint(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions)
+              parallelism = 0)
             .toDF()
             .filter(col("decoded_ok"))
             .select("media_id", "vhash"),
@@ -251,7 +254,7 @@ object Multimodal {
       (s, d) => {
         val idx = persistHashFrame(
           MediaOps.perceptualHash(MediaOps.mediaFromDocuments(s, d),
-              parallelism = s.sessionState.conf.numShufflePartitions)
+              parallelism = 0)
             .toDF()
             .filter(col("decoded_ok"))
             .select("media_id", "phash"),

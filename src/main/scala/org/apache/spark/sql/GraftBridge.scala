@@ -57,6 +57,21 @@ object GraftBridge {
     }
   }
 
+  /** RDD ids a (materialized) localCheckpoint pinned into the block
+    * manager for `df` — read from the Dataset's OWN plan (the LogicalRDD
+    * nodes a checkpoint leaves behind), so a caller that frees blocks
+    * later can free EXACTLY this frame's blocks. The global
+    * `getPersistentRDDs`-diff alternative races with concurrent streams:
+    * any other query persisting inside the diff window gets its RDD
+    * captured and unpersisted by a stranger — and a localCheckpointed RDD
+    * has truncated lineage, so dropping its blocks CRASHES the victim's
+    * later access rather than recomputing.
+    */
+  def checkpointedRddIds(df: Dataset[Row]): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case r: execution.LogicalRDD => r.rdd.id
+    }
+
   /** Deterministically drain the async listener bus — the replacement for
     * sleep-and-hope when reading task metrics accumulated by a listener
     * right after a job completes (the last tasks' events may still be in
