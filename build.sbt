@@ -41,3 +41,46 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- parallel test groups (r22) ----
+// One forked JVM runs every suite sequentially on a local[4] session —
+// measured 28 min wall on an idle 32-core box, and the r21 driver's test
+// run was cut off mid-suite on a loaded one (VERIFY_r21 tests_ok:false).
+// Suites are grouped into N forked JVMs running in PARALLEL: each group
+// keeps its own SparkContext/warehouse/tmp (full isolation — suites that
+// pin job counts, mutate session conf, or saveAsTable never share a JVM
+// with a concurrent suite), so within-group behavior is identical to the
+// old single-JVM run. Group assignment is deterministic greedy
+// bin-packing by measured suite seconds (unknown suites get a nominal
+// weight), so the critical path is the heaviest suite, not the sum.
+val testGroupCount = 4
+val suiteWeights: Map[String, Int] = Map(
+  "graft.DeterminismSpec" -> 290, "graft.PlanAuditSpec" -> 98,
+  "graft.BusSpec" -> 85, "graft.StreamingWindowSpec" -> 54,
+  "graft.PropertySpec" -> 48, "graft.PipelineSpec" -> 40,
+  "graft.SimilaritySpec" -> 37, "graft.DedupSpec" -> 35,
+  "graft.ScaleSpec" -> 30, "graft.StreamingTypeCorrSpec" -> 28,
+  "graft.StreamingJoinSpec" -> 26, "graft.StreamingPeriodSpec" -> 22,
+  "graft.BpeSpec" -> 21, "graft.DataGenSpec" -> 21,
+  "graft.StreamingAttributionSpec" -> 21)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(t => (-suiteWeights.getOrElse(t.name, 10), t.name))
+  val opts = (Test / forkOptions).value
+  val bins = Array.fill(testGroupCount)(0L)
+  val groups = Array.fill(testGroupCount)(List.newBuilder[sbt.TestDefinition])
+  tests.foreach { t =>
+    val i = bins.indices.minBy(bins(_))
+    bins(i) += suiteWeights.getOrElse(t.name, 10).toLong
+    groups(i) += t
+  }
+  groups.zipWithIndex.map { case (g, i) =>
+    Tests.Group(s"g$i", g.result(), Tests.SubProcess(opts))
+  }.toSeq
+}
+// sbt's default restriction runs forked test groups one at a time; allow
+// them to actually overlap (bounded by the group count).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(4, java.lang.Runtime.getRuntime.availableProcessors())),
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.exclusiveGroup(Tags.Clean),
+)

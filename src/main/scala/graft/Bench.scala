@@ -112,13 +112,24 @@ object Bench {
     // keys (r19 verdict "What's wrong" #3). One key per line so plain git
     // diff shows movers; written to the working directory (the repo root
     // under the driver's sbt invocation) so it lands in the round commit.
+    // r22 (r21 verdict "What's wrong" #1): the driver runs the bench TWICE
+    // per round (32-core primary, then an 8-core scaling run) and the
+    // second run used to OVERWRITE the single artifact — the r21 PERF
+    // comparison came up empty because BENCH_PERQUERY.json held the c8
+    // map. Each core count now writes its own BENCH_PERQUERY_c${cpus}.json;
+    // the legacy name is kept as a copy of the CURRENT run so existing
+    // consumers still find a file (per-core files are the authoritative,
+    // clobber-proof record).
     try {
       val lines = results.sortBy(_._1).map { case (k, v, ok) =>
         s"""  "$k": ${if (ok) r3(v) else "\"FAILED\""}"""
       }
+      val body =
+        lines.mkString(s"""{\n  "_sf": "$sfDir",\n  "_cpus": "$cpus",\n""", ",\n", "\n}\n")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_PERQUERY.json"),
-        lines.mkString(s"""{\n  "_sf": "$sfDir",\n""", ",\n", "\n}\n"))
+        java.nio.file.Paths.get(s"BENCH_PERQUERY_c$cpus.json"), body)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_PERQUERY.json"), body)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] per-query artifact write failed: $e")
     }

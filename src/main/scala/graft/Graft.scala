@@ -74,11 +74,15 @@ object Graft {
     * form of the conf for SMALL-BOUNDED-buffer typed aggregates over
     * high-cardinality groups (the kNN BottomKPairs fold).
     *
-    * One clone is cached PER PARENT SESSION (weakly keyed — entries die
-    * with their parent): each `cloneSession()` registers session-state
-    * listeners on the shared context bus that are never torn down, so
-    * cloning per call would slowly accumulate sessions/listeners in a
-    * long-lived process that rebuilds plans repeatedly (r19 ADVICE).
+    * One clone is cached PER PARENT SESSION, for the life of the
+    * SparkContext. (r22: was a WeakHashMap claiming entries die with
+    * their parent — false, r21 ADVICE: the clone strongly references its
+    * parent via shared session state, and each `cloneSession()` registers
+    * session-state listeners on the shared context bus that are never
+    * torn down — which is also why cloning per call would slowly
+    * accumulate sessions/listeners in a long-lived process that rebuilds
+    * plans repeatedly, r19 ADVICE. The map now states the real lifetime:
+    * bounded at exactly one immortal clone per parent session.)
     * Conf drift is not a concern: the clone's only delta is the one
     * threshold constant, and runtime conf changes a caller makes on the
     * PARENT after the clone exists are deliberate non-propagation (the
@@ -88,8 +92,7 @@ object Graft {
     GraftBridge.rehome(boundedAggSession(df.sparkSession), df)
 
   private val boundedAggClones =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, SparkSession]())
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
   private def boundedAggSession(parent: SparkSession): SparkSession =
     boundedAggClones.computeIfAbsent(parent, p =>

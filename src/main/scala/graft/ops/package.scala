@@ -43,6 +43,15 @@ package object ops {
     * parquet data itself. Keyed by the nanosAsLong flag too because that
     * flag changes how a timestamp[ns] column is inferred (LongType vs
     * error), and sessions with different settings must not share entries.
+    *
+    * IMMUTABLE-FIXTURE ASSUMPTION (r21 ADVICE): the cache never
+    * invalidates. If a fixture path were rewritten with a DIFFERENT
+    * schema inside one JVM, `read.schema(stale)` would not fail the way
+    * re-inference would — it silently yields nulls/miscast columns. The
+    * fixture dirs are generated once and read-only in every harness
+    * (tests that synthesize data write to fresh temp dirs); a caller
+    * pointing tbl() at mutable paths must restart the JVM or drop this
+    * cache on schema change.
     */
   private val tblSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),

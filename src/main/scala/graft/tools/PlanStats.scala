@@ -32,6 +32,7 @@ object PlanStats {
     val jobs = new AtomicLong(0); val stages = new AtomicLong(0)
     val tasks = new AtomicLong(0); val shufW = new AtomicLong(0)
     val shufRecs = new AtomicLong(0); val inRecs = new AtomicLong(0)
+    val spill = new AtomicLong(0) // disk bytes spilled (guide §5 signal)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -44,6 +45,7 @@ object PlanStats {
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           inRecs.addAndGet(m.inputMetrics.recordsRead)
+          spill.addAndGet(m.diskBytesSpilled)
         }
       }
     })
@@ -63,15 +65,15 @@ object PlanStats {
       spark.sharedState.cacheManager.clearCache()
       dt
     }
-    println(f"${"query"}%-26s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"shufMB"}%8s ${"shufRec"}%9s ${"inRec"}%9s ${"warm_s"}%7s")
+    println(f"${"query"}%-26s ${"jobs"}%5s ${"stg"}%5s ${"tasks"}%6s ${"shufMB"}%8s ${"shufRec"}%9s ${"inRec"}%9s ${"spillMB"}%8s ${"warm_s"}%7s")
     names.foreach { n =>
       runOnce(n) // warm-up: JIT + codegen for this shape
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       jobs.set(0); stages.set(0); tasks.set(0)
-      shufW.set(0); shufRecs.set(0); inRecs.set(0)
+      shufW.set(0); shufRecs.set(0); inRecs.set(0); spill.set(0)
       val dt = runOnce(n)
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-      println(f"$n%-26s ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${shufW.get / 1048576.0}%8.2f ${shufRecs.get}%9d ${inRecs.get}%9d $dt%7.3f")
+      println(f"$n%-26s ${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d ${shufW.get / 1048576.0}%8.2f ${shufRecs.get}%9d ${inRecs.get}%9d ${spill.get / 1048576.0}%8.2f $dt%7.3f")
     }
     spark.stop()
   }
